@@ -1,0 +1,432 @@
+"""Point-robot environment: batched planar rigid-body simulation in pure JAX.
+
+This is the from-scratch replacement for the Isaac Gym point_env scene
+(``config/point_env/*.yaml`` + ``isaacgym_wrapper.py``): an omni point robot
+(2 prismatic DOFs, velocity drive), four arena walls, one static obstacle, a
+movable obstacle ("dyn-obs"), a pushable/pullable box, and non-colliding goal
+and axis markers.
+
+Design: the whole env is one pure function ``step(params, state, u, ext)``.
+K MPPI rollouts are ``jax.vmap`` over the state pytree — the analogue of the
+reference's K identical Isaac envs stepped in lock-step
+(``reactive_tamp.py:23-30``, ``mppi.py:275-332``) — and the "real system" is
+the same function at batch size 1.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from m3p2i_aip_tpu.ops import quat
+from m3p2i_aip_tpu.sim import pbd2d
+from m3p2i_aip_tpu.sim.sim_config import ActorCfg, SimConfig
+
+GRAVITY = 9.8  # matches sim_params.gravity (isaacgym_wrapper.py:25)
+
+
+@struct.dataclass
+class PointEnvState:
+    """Per-env simulation state (vmap adds a leading K axis)."""
+
+    q: jnp.ndarray  # [2] robot dof positions (x, y)
+    qd: jnp.ndarray  # [2] robot dof velocities
+    dyn_pos: jnp.ndarray  # [D, 2]
+    dyn_yaw: jnp.ndarray  # [D]
+    dyn_vel: jnp.ndarray  # [D, 2]
+    dyn_om: jnp.ndarray  # [D]
+    contact_force: jnp.ndarray  # [A, 3] net contact force per actor
+
+
+@struct.dataclass
+class PointExtForces:
+    """External (e.g. suction) forces carried into the next step.
+
+    Functional replacement for ``apply_rigid_body_force_tensors`` mutating the
+    live sim inside the pull cost (cost_functions.py:71-76).
+    """
+
+    robot: jnp.ndarray  # [2]
+    dyn: jnp.ndarray  # [D, 2]
+
+
+@struct.dataclass
+class PointEnvParams:
+    # static geometry
+    stat_pos: jnp.ndarray  # [S, 2]
+    stat_yaw: jnp.ndarray  # [S]
+    stat_half: jnp.ndarray  # [S, 2]
+    stat_friction: jnp.ndarray  # [S]
+    # dynamic boxes
+    dyn_half: jnp.ndarray  # [D, 2]
+    dyn_mass: jnp.ndarray  # [D]
+    dyn_inv_mass: jnp.ndarray  # [D]
+    dyn_inv_inertia: jnp.ndarray  # [D]
+    dyn_mu_ground: jnp.ndarray  # [D]
+    dyn_friction: jnp.ndarray  # [D]
+    dyn_z: jnp.ndarray  # [D] resting height of the root
+    init_dyn_pos: jnp.ndarray  # [D, 2]
+    # robot
+    robot_mass: float = struct.field(pytree_node=False, default=10.0)
+    robot_radius: float = struct.field(pytree_node=False, default=0.2)
+    drive_rate: float = struct.field(pytree_node=False, default=60.0)
+    robot_friction: float = struct.field(pytree_node=False, default=0.05)
+    # integration
+    dt: float = struct.field(pytree_node=False, default=0.05)
+    substeps: int = struct.field(pytree_node=False, default=2)
+    pos_iters: int = struct.field(pytree_node=False, default=2)
+    max_dyn_speed: float = struct.field(pytree_node=False, default=20.0)
+    # bookkeeping (host-side, static)
+    actor_names: tuple = struct.field(pytree_node=False, default=())
+    dyn_actor_idx: tuple = struct.field(pytree_node=False, default=())
+    stat_actor_idx: tuple = struct.field(pytree_node=False, default=())
+    robot_actor_idx: int = struct.field(pytree_node=False, default=0)
+    num_actors: int = struct.field(pytree_node=False, default=0)
+    init_root: jnp.ndarray = struct.field(default=None)  # [A, 13]
+
+
+def build_params(actors: List[ActorCfg], sim_cfg: SimConfig) -> PointEnvParams:
+    """Pack the per-actor YAML configs (actor_utils.py:16-46 schema) into
+    device arrays.  Ground-friction combine follows PhysX's default *average*
+    of the two materials (plane friction 1.0, isaacgym_wrapper.py:466-467)."""
+    stat, dyn, dyn_idx, stat_idx = [], [], [], []
+    robot_idx, robot_cfg = 0, None
+    init_root = np.zeros((len(actors), 13), dtype=np.float32)
+    init_root[:, 6] = 1.0  # identity quat w
+    names = []
+    for i, a in enumerate(actors):
+        names.append(a.name)
+        init_root[i, 0:3] = a.init_pos
+        init_root[i, 3:7] = a.init_ori
+        if a.type == "robot":
+            robot_idx, robot_cfg = i, a
+        elif a.type == "box" and a.collision:
+            yaw = float(quat.yaw_from_quat(jnp.asarray(a.init_ori)))
+            if a.fixed:
+                stat.append(
+                    (a.init_pos[0], a.init_pos[1], yaw, a.size[0] / 2, a.size[1] / 2, a.friction)
+                )
+                stat_idx.append(i)
+            else:
+                dyn.append(
+                    (
+                        a.init_pos[0],
+                        a.init_pos[1],
+                        a.size[0] / 2,
+                        a.size[1] / 2,
+                        a.mass,
+                        a.friction,
+                        a.size[2] / 2,
+                    )
+                )
+                dyn_idx.append(i)
+    stat = np.asarray(stat, dtype=np.float32).reshape(-1, 6)
+    dyn = np.asarray(dyn, dtype=np.float32).reshape(-1, 7)
+    masses = dyn[:, 4]
+    half = dyn[:, 2:4]
+    # box inertia about z: m*(w^2+h^2)/12 with w=2*hx etc.
+    inertia = masses * ((2 * half[:, 0]) ** 2 + (2 * half[:, 1]) ** 2) / 12.0
+    return PointEnvParams(
+        stat_pos=jnp.asarray(stat[:, 0:2]),
+        stat_yaw=jnp.asarray(stat[:, 2]),
+        stat_half=jnp.asarray(stat[:, 3:5]),
+        stat_friction=jnp.asarray(stat[:, 5]),
+        dyn_half=jnp.asarray(half),
+        dyn_mass=jnp.asarray(masses),
+        dyn_inv_mass=jnp.asarray(1.0 / masses),
+        dyn_inv_inertia=jnp.asarray(1.0 / inertia),
+        dyn_mu_ground=jnp.asarray((dyn[:, 5] + 1.0) / 2.0),
+        dyn_friction=jnp.asarray(dyn[:, 5]),
+        dyn_z=jnp.asarray(dyn[:, 6]),
+        init_dyn_pos=jnp.asarray(dyn[:, 0:2]),
+        robot_mass=10.0,  # pointRobot.urdf link_y mass
+        robot_radius=0.2,  # pointRobot.urdf collision cylinder radius
+        drive_rate=sim_cfg.drive_damping / 10.0,
+        robot_friction=robot_cfg.friction if robot_cfg else 0.05,
+        dt=sim_cfg.dt,
+        substeps=sim_cfg.substeps,
+        actor_names=tuple(names),
+        dyn_actor_idx=tuple(dyn_idx),
+        stat_actor_idx=tuple(stat_idx),
+        robot_actor_idx=robot_idx,
+        num_actors=len(actors),
+        init_root=jnp.asarray(init_root),
+    )
+
+
+def init_state(params: PointEnvParams) -> PointEnvState:
+    D = params.dyn_half.shape[0]
+    return PointEnvState(
+        q=jnp.zeros(2),
+        qd=jnp.zeros(2),
+        dyn_pos=params.init_dyn_pos,
+        dyn_yaw=jnp.zeros(D),
+        dyn_vel=jnp.zeros((D, 2)),
+        dyn_om=jnp.zeros(D),
+        contact_force=jnp.zeros((params.num_actors, 3)),
+    )
+
+
+def zero_ext(params: PointEnvParams) -> PointExtForces:
+    return PointExtForces(
+        robot=jnp.zeros(2), dyn=jnp.zeros((params.dyn_half.shape[0], 2))
+    )
+
+
+def step(
+    params: PointEnvParams,
+    state: PointEnvState,
+    u_target: jnp.ndarray,
+    ext: PointExtForces,
+) -> PointEnvState:
+    """One control step = ``substeps`` PBD substeps.
+
+    Parity: IsaacGymWrapper.step (isaacgym_wrapper.py:354-364) preceded by
+    set_dof_velocity_target_tensor (velocity drive, damping 600:341-344) and
+    apply_rigid_body_force_tensors (ext forces).
+
+    Contact passes are solved Gauss-Seidel style with dynamic-vs-static
+    projections LAST and at full strength, so every substep ends with all
+    bodies outside the static geometry (walls are impenetrable regardless of
+    how hard the velocity drive pushes) — the PBD analogue of PhysX's
+    position-iteration priority.
+    """
+    h = params.dt / params.substeps
+    D = params.dyn_half.shape[0]
+    S = params.stat_pos.shape[0]
+
+    q, qd = state.q, state.qd
+    dpos, dyaw = state.dyn_pos, state.dyn_yaw
+    dvel, dom = state.dyn_vel, state.dyn_om
+    force_accum = jnp.zeros((params.num_actors, 3))
+
+    wm_r = 1.0 / params.robot_mass
+    decay = float(np.exp(-params.drive_rate * params.dt / params.substeps))
+
+    dyn_actor = jnp.asarray(params.dyn_actor_idx, dtype=jnp.int32)
+    stat_actor = jnp.asarray(params.stat_actor_idx, dtype=jnp.int32)
+
+    def pad3(f):
+        return jnp.concatenate([f, jnp.zeros(f.shape[:-1] + (1,))], axis=-1)
+
+    for _ in range(params.substeps):
+        # --- velocity integration -------------------------------------------
+        qd = qd + ext.robot * (wm_r * h)
+        qd = u_target + (qd - u_target) * decay  # exact 1st-order vel drive
+        dvel = dvel + ext.dyn * (params.dyn_inv_mass[:, None] * h)
+        dvel, dom = pbd2d.ground_friction(
+            dvel, dom, params.dyn_mu_ground, GRAVITY, h,
+            jnp.mean(params.dyn_half, axis=-1),
+        )
+        speed = jnp.linalg.norm(dvel, axis=-1, keepdims=True)
+        dvel = dvel * jnp.minimum(1.0, params.max_dyn_speed / jnp.maximum(speed, 1e-9))
+
+        # --- position integration --------------------------------------------
+        q = q + qd * h
+        dpos = dpos + dvel * h
+        dyaw = dyaw + dom * h
+
+        for _ in range(params.pos_iters):
+            # pass 1: robot circle vs dynamic boxes [D]
+            c = pbd2d.circle_vs_obb(
+                jnp.broadcast_to(q, (D, 2)), params.robot_radius,
+                dpos, dyaw, params.dyn_half,
+            )
+            out = pbd2d.resolve_contact(
+                c,
+                jnp.broadcast_to(q, (D, 2)), jnp.zeros(D),
+                jnp.broadcast_to(qd, (D, 2)), jnp.zeros(D), wm_r, 0.0,
+                dpos, dyaw, dvel, dom,
+                params.dyn_inv_mass, params.dyn_inv_inertia,
+                h, friction=(params.robot_friction + params.dyn_friction) / 2,
+                relax=1.0,
+            )
+            q = q + out[0].sum(0)
+            qd = qd + out[2].sum(0)
+            dpos = dpos + out[4]
+            dyaw = dyaw + out[5]
+            dvel = dvel + out[6]
+            dom = dom + out[7]
+            f_r = pad3(out[8])
+            force_accum = force_accum.at[params.robot_actor_idx].add(f_r.sum(0))
+            force_accum = force_accum.at[dyn_actor].add(-f_r)
+
+            # pass 2: dynamic vs dynamic (corners of i inside j, both orders)
+            if D > 1:
+                pairs = [(i, j) for i in range(D) for j in range(D) if i != j]
+                ii = jnp.asarray([p[0] for p in pairs])
+                jj = jnp.asarray([p[1] for p in pairs])
+                c = pbd2d.corners_vs_obb(
+                    dpos[ii], dyaw[ii], params.dyn_half[ii],
+                    dpos[jj], dyaw[jj], params.dyn_half[jj],
+                )
+                out = pbd2d.resolve_contact(
+                    c,
+                    dpos[ii][:, None, :], dyaw[ii][:, None],
+                    dvel[ii][:, None, :], dom[ii][:, None],
+                    params.dyn_inv_mass[ii][:, None],
+                    params.dyn_inv_inertia[ii][:, None],
+                    dpos[jj][:, None, :], dyaw[jj][:, None],
+                    dvel[jj][:, None, :], dom[jj][:, None],
+                    params.dyn_inv_mass[jj][:, None],
+                    params.dyn_inv_inertia[jj][:, None],
+                    h,
+                    friction=(params.dyn_friction[ii] + params.dyn_friction[jj])[
+                        :, None
+                    ] / 2,
+                    relax=0.5,
+                )
+                dpos = dpos.at[ii].add(out[0].sum(1))
+                dyaw = dyaw.at[ii].add(out[1].sum(1))
+                dvel = dvel.at[ii].add(out[2].sum(1))
+                dom = dom.at[ii].add(out[3].sum(1))
+                dpos = dpos.at[jj].add(out[4].sum(1))
+                dyaw = dyaw.at[jj].add(out[5].sum(1))
+                dvel = dvel.at[jj].add(out[6].sum(1))
+                dom = dom.at[jj].add(out[7].sum(1))
+                f_p = pad3(out[8])
+                force_accum = force_accum.at[dyn_actor[ii]].add(f_p.sum(1))
+                force_accum = force_accum.at[dyn_actor[jj]].add(-f_p.sum(1))
+
+            # pass 3: dynamic boxes vs static boxes [D, S, 4].  Full-strength
+            # projection: per-corner corrections are normalized by the number
+            # of active corners on the face so the summed translation removes
+            # the full penetration — statics are impenetrable, no residual
+            # drift that could carry a body across a thin wall's midplane.
+            c = pbd2d.corners_vs_obb(
+                dpos[:, None, :], dyaw[:, None], params.dyn_half[:, None, :],
+                params.stat_pos[None, :, :], params.stat_yaw[None, :],
+                params.stat_half[None, :, :],
+            )
+            n_active = jnp.sum(c.pen > 0, axis=-1, keepdims=True)  # [D, S, 1]
+            relax_ds = 1.0 / jnp.maximum(n_active, 1)
+            out = pbd2d.resolve_contact(
+                c,
+                dpos[:, None, None, :], dyaw[:, None, None],
+                dvel[:, None, None, :], dom[:, None, None],
+                params.dyn_inv_mass[:, None, None],
+                params.dyn_inv_inertia[:, None, None],
+                params.stat_pos[None, :, None, :], params.stat_yaw[None, :, None],
+                jnp.zeros((1, S, 1, 2)), jnp.zeros((1, S, 1)), 0.0, 0.0,
+                h,
+                friction=(params.dyn_friction[:, None, None]
+                          + params.stat_friction[None, :, None]) / 2,
+                relax=relax_ds,
+            )
+            dpos = dpos + out[0].sum((1, 2))
+            dyaw = dyaw + out[1].sum((1, 2))
+            dvel = dvel + out[2].sum((1, 2))
+            dom = dom + out[3].sum((1, 2))
+            f_d = pad3(out[8])  # [D, S, 4, 3]
+            force_accum = force_accum.at[dyn_actor].add(f_d.sum((1, 2)))
+            force_accum = force_accum.at[stat_actor].add(-f_d.sum((0, 2)))
+
+            # pass 4: robot circle vs static boxes [S] — full strength, last
+            c = pbd2d.circle_vs_obb(
+                jnp.broadcast_to(q, (S, 2)), params.robot_radius,
+                params.stat_pos, params.stat_yaw, params.stat_half,
+            )
+            out = pbd2d.resolve_contact(
+                c,
+                jnp.broadcast_to(q, (S, 2)), jnp.zeros(S),
+                jnp.broadcast_to(qd, (S, 2)), jnp.zeros(S), wm_r, 0.0,
+                params.stat_pos, params.stat_yaw, jnp.zeros((S, 2)), jnp.zeros(S),
+                0.0, 0.0,
+                h, friction=(params.robot_friction + params.stat_friction) / 2,
+                relax=1.0,
+            )
+            q = q + out[0].sum(0)
+            qd = qd + out[2].sum(0)
+            f_r = pad3(out[8])
+            force_accum = force_accum.at[params.robot_actor_idx].add(f_r.sum(0))
+            force_accum = force_accum.at[stat_actor].add(-f_r)
+
+            # pass 5: robot vs dynamic again, with the dynamic body IMMOVABLE.
+            # Closes the robot->box->wall constraint chain: pass 3 pinned the
+            # box outside the statics; now the robot is projected fully out of
+            # the box, so the velocity drive can never squeeze the box across
+            # a thin wall's midplane (the PBD equivalent of PhysX resolving
+            # the contact chain within one solver iteration set).
+            c = pbd2d.circle_vs_obb(
+                jnp.broadcast_to(q, (D, 2)), params.robot_radius,
+                dpos, dyaw, params.dyn_half,
+            )
+            out = pbd2d.resolve_contact(
+                c,
+                jnp.broadcast_to(q, (D, 2)), jnp.zeros(D),
+                jnp.broadcast_to(qd, (D, 2)), jnp.zeros(D), wm_r, 0.0,
+                dpos, dyaw, dvel, dom, 0.0, 0.0,
+                h, friction=0.0, relax=1.0,
+            )
+            q = q + out[0].sum(0)
+            qd = qd + out[2].sum(0)
+
+    n_norm = params.substeps * params.pos_iters
+    return state.replace(
+        q=q,
+        qd=qd,
+        dyn_pos=dpos,
+        dyn_yaw=dyaw,
+        dyn_vel=dvel,
+        dyn_om=dom,
+        contact_force=force_accum / n_norm,
+    )
+
+
+def root_state_view(params: PointEnvParams, state: PointEnvState) -> jnp.ndarray:
+    """Assemble the Isaac-style root-state tensor [A, 13].
+
+    Parity: ``acquire_actor_root_state_tensor`` view (isaacgym_wrapper.py:102-104).
+    Fixed-base robots keep their initial root (robot motion lives in the DOFs).
+    """
+    root = params.init_root
+    dyn_actor = jnp.asarray(params.dyn_actor_idx, dtype=jnp.int32)
+    z = params.dyn_z
+    pos3 = jnp.concatenate([state.dyn_pos, z[:, None]], axis=-1)
+    quat4 = quat.quat_from_yaw(state.dyn_yaw)
+    vel3 = jnp.concatenate([state.dyn_vel, jnp.zeros_like(z[:, None])], axis=-1)
+    om3 = jnp.concatenate(
+        [jnp.zeros((state.dyn_om.shape[0], 2)), state.dyn_om[:, None]], axis=-1
+    )
+    root = root.at[dyn_actor, 0:3].set(pos3)
+    root = root.at[dyn_actor, 3:7].set(quat4)
+    root = root.at[dyn_actor, 7:10].set(vel3)
+    root = root.at[dyn_actor, 10:13].set(om3)
+    return root
+
+
+def load_root_state(
+    params: PointEnvParams, state: PointEnvState, root: jnp.ndarray
+) -> PointEnvState:
+    """Inverse of :func:`root_state_view` — sync dynamics from a root tensor.
+
+    Parity: REACTIVE_TAMP.run_tamp copying the real env's root state into all
+    rollout envs (reactive_tamp.py:45-48).
+    """
+    dyn_actor = jnp.asarray(params.dyn_actor_idx, dtype=jnp.int32)
+    rows = root[dyn_actor]
+    return state.replace(
+        dyn_pos=rows[:, 0:2],
+        dyn_yaw=quat.yaw_from_quat(rows[:, 3:7]),
+        dyn_vel=rows[:, 7:9],
+        dyn_om=rows[:, 12],
+    )
+
+
+def dof_state_view(state: PointEnvState) -> jnp.ndarray:
+    """Interleaved Isaac dof_state [x, vx, y, vy] (isaacgym_wrapper.py:98-100)."""
+    return jnp.stack(
+        [state.q[..., 0], state.qd[..., 0], state.q[..., 1], state.qd[..., 1]],
+        axis=-1,
+    )
+
+
+def load_dof_state(state: PointEnvState, dof: jnp.ndarray) -> PointEnvState:
+    return state.replace(
+        q=jnp.stack([dof[..., 0], dof[..., 2]], axis=-1),
+        qd=jnp.stack([dof[..., 1], dof[..., 3]], axis=-1),
+    )

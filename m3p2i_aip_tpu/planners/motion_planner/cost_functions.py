@@ -1,0 +1,230 @@
+"""Task-indexed running costs over sim state — pure JAX, per-env formulation.
+
+Parity target: ``src/m3p2i_aip/planners/motion_planner/cost_functions.py``.
+Key architectural inversions vs the reference (SURVEY.md §7 "Hard parts"):
+
+  * The reference's costs read a live, mutable sim and the pull cost even
+    *applies suction forces to it* as a side effect (cost_functions.py:71-76).
+    Here every cost is a pure function ``(state, u, task, mode) ->
+    (cost, ext_forces)``; the returned forces are threaded by the planner into
+    the *next* dynamics step — identical timing to the reference, where forces
+    set during cost evaluation act on the following ``sim.step()``.
+
+  * Costs are written per-env and vmapped by the planner; the reference's
+    half-batch mode split (``[:half_K]`` / ``[half_K:]``,
+    cost_functions.py:27-29, 74-75, 107-108, 150-154) becomes a per-sample
+    ``mode`` flag (0 = first half / push / top-grasp, 1 = second half / pull /
+    tilted-grasp), which is also what lets the mode axis shard over a device
+    mesh.
+
+  * Task selection is a traced integer driving ``lax.switch`` instead of
+    python string dispatch (cost_functions.py:19-36), so the whole planner
+    step stays compiled across task switches.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from m3p2i_aip_tpu.models import panda_env as pa
+from m3p2i_aip_tpu.models import point_env as pe
+from m3p2i_aip_tpu.ops import general_ori_cube2goal, general_ori_ee2cube
+from m3p2i_aip_tpu.planners.motion_planner.mppi import TaskParams
+from m3p2i_aip_tpu.utils.skill_utils import calculate_suction
+
+
+class PointObjective:
+    """navigation / push / pull / push_pull costs for the point env.
+
+    ``compute(state, u, task, mode)`` returns (cost, PointExtForces).
+    """
+
+    def __init__(self, params: pe.PointEnvParams, cfg):
+        self.params = params
+        self.multi_modal = bool(cfg.multi_modal)
+        self.kp_suction = float(cfg.kp_suction)
+        # rollout suction gate 1/dist > 1.8 (skill_utils.py:79-82)
+        self.suction_threshold = 1.8
+        names = list(params.actor_names)
+        self.box_dyn_slot = params.dyn_actor_idx.index(names.index("box"))
+        self.dynobs_actor = names.index("dyn-obs")
+
+    # -- state accessors (parity: isaacgym_wrapper getters :120-188) --------
+    def _box_pos(self, state: pe.PointEnvState):
+        return state.dyn_pos[self.box_dyn_slot]
+
+    def _dist_terms(self, state, goal):
+        """Parity: Objective.calculate_dist (cost_functions.py:41-50)."""
+        block_pos = self._box_pos(state)
+        robot_to_block = state.q - block_pos
+        block_to_goal = goal - block_pos
+        d_rb = jnp.linalg.norm(robot_to_block)
+        d_bg = jnp.linalg.norm(block_to_goal)
+        dist_cost = d_rb + d_bg * 10.0
+        cos_theta = jnp.sum(robot_to_block * block_to_goal) / jnp.maximum(
+            d_rb * d_bg, 1e-9
+        )
+        return dist_cost, cos_theta, block_pos, d_rb
+
+    def _motion_cost(self, state):
+        """Binarized dyn-obs contact (cost_functions.py:158-170, point branch)."""
+        f = state.contact_force[self.dynobs_actor]
+        coll = jnp.sum(jnp.abs(f[:2]))
+        return jnp.where(coll > 0.1, 1000.0, 0.0)
+
+    def _navigation(self, state, goal):
+        return jnp.linalg.norm(state.q - goal) + self._motion_cost(state)
+
+    def _push(self, state, goal):
+        dist_cost, cos_theta, _, _ = self._dist_terms(state, goal)
+        align = jnp.maximum(cos_theta, 0.0)  # (cost_functions.py:57-58)
+        return 3.0 * dist_cost + 1.0 * align
+
+    def _pull(self, state, goal, mode):
+        dist_cost, cos_theta, block_pos, d_rb = self._dist_terms(state, goal)
+        pos_dir = block_pos - state.q
+        towards_block = jnp.sum(state.qd * pos_dir) > 0.0
+
+        f_box, f_robot = calculate_suction(
+            block_pos, state.q, self.kp_suction, self.suction_threshold
+        )
+        # no suction when moving toward the block (cost_functions.py:72-73)
+        off = towards_block
+        if self.multi_modal:
+            # mode 0 (push half) gets no suction (cost_functions.py:74-75)
+            off = off | (mode == 0)
+        f_box = jnp.where(off, 0.0, f_box)
+        f_robot = jnp.where(off, 0.0, f_robot)
+
+        align = jnp.maximum(-cos_theta, 0.0)  # (cost_functions.py:81-82)
+        vel_cost = jnp.where(towards_block & (d_rb <= 0.5), 0.6, 0.0)
+        cost = 3.0 * dist_cost + 3.0 * vel_cost + 7.0 * align
+
+        D = self.params.dyn_half.shape[0]
+        ext = pe.PointExtForces(
+            robot=f_robot,
+            dyn=jnp.zeros((D, 2)).at[self.box_dyn_slot].set(f_box),
+        )
+        return cost, ext
+
+    def compute(self, state: pe.PointEnvState, u, task: TaskParams, mode):
+        """Task dispatch. Parity: Objective.compute_cost (cost_functions.py:19-36):
+        only navigation adds the motion cost; push/pull return bare."""
+        goal = task.goal[:2]
+        zero_ext = pe.zero_ext(self.params)
+
+        def nav(_):
+            return self._navigation(state, goal), zero_ext
+
+        def push(_):
+            return self._push(state, goal), zero_ext
+
+        def pull(_):
+            return self._pull(state, goal, mode)
+
+        def push_pull(_):
+            c_push, _ = push(None)
+            c_pull, ext = pull(None)
+            cost = jnp.where(mode == 0, c_push, c_pull)
+            ext = jax.tree_util.tree_map(
+                lambda z, e: jnp.where(mode == 0, z, e), zero_ext, ext
+            )
+            return cost, ext
+
+        return jax.lax.switch(
+            jnp.clip(task.task_id, 0, 3), [nav, push, pull, push_pull], None
+        )
+
+
+class PandaObjective:
+    """reach / pick / place costs for the panda env.
+
+    Parity: cost_functions.py:91-170 (panda branches).  Deviation noted:
+    the reference aims every rollout at env-0's cube position
+    (cost_functions.py:97, 102-103 index ``cube_state[0]``); here each rollout
+    uses its own cube state, which is the intended semantics (all envs share
+    the synced state at rollout start anyway).
+    """
+
+    def __init__(self, params: pa.PandaEnvParams, cfg):
+        self.params = params
+        self.multi_modal = bool(cfg.multi_modal)
+        self.pre_height_diff = float(cfg.pre_height_diff)
+        self.tilt_cos_theta = 0.5
+        names = list(params.actor_names)
+        self.cubeA_slot = 1  # _DYN_NAMES order
+        self.cubeB_slot = 2
+        self.table_actor = names.index("table")
+        self.shelf_actor = names.index("shelf_stand")
+        self.cubeB_actor = names.index("cubeB")
+
+    def _fk(self, state):
+        from m3p2i_aip_tpu.models import panda_fk
+
+        return panda_fk.fk(state.q, self.params.base_pos)
+
+    def _motion_cost(self, state):
+        """Parity: get_motion_cost panda branch (cost_functions.py:161-170)."""
+        f = (
+            state.contact_force[self.table_actor]
+            + 4.0 * state.contact_force[self.shelf_actor]
+            + state.contact_force[self.cubeB_actor]
+        )
+        coll = jnp.sum(jnp.abs(f[:2]))
+        return jnp.where(coll > 0.1, 1000.0, 0.0)
+
+    def _reach(self, state, mode):
+        links = self._fk(state)
+        ee_pos, ee_quat = links["ee"]
+        cube_pos = state.body_pos[self.cubeA_slot]
+        cube_quat = state.body_quat[self.cubeA_slot]
+
+        top_goal = cube_pos.at[2].add(self.pre_height_diff)
+        if self.multi_modal:
+            tilt = self.tilt_cos_theta
+            side_goal = cube_pos.at[0].add(-self.pre_height_diff * tilt)
+            side_goal = side_goal.at[2].add(
+                self.pre_height_diff * (1 - tilt**2) ** 0.5
+            )
+            goal = jnp.where(mode == 0, top_goal, side_goal)
+            tilt_cost = jnp.where(
+                mode == 0,
+                general_ori_ee2cube(ee_quat, cube_quat, tilt_value=0.0),
+                general_ori_ee2cube(ee_quat, cube_quat, tilt_value=tilt),
+            )
+        else:
+            goal = top_goal
+            tilt_cost = general_ori_ee2cube(ee_quat, cube_quat, tilt_value=0.0)
+        reach_cost = jnp.linalg.norm(ee_pos - goal)
+        return 10.0 * reach_cost + 3.0 * tilt_cost
+
+    def _pick(self, state, task):
+        cube_pos = state.body_pos[self.cubeA_slot]
+        cube_quat = state.body_quat[self.cubeA_slot]
+        goal_cost = jnp.linalg.norm(task.goal[:3] - cube_pos)
+        ori_cost = general_ori_cube2goal(cube_quat, task.goal[3:7])
+        return 10.0 * goal_cost + 15.0 * ori_cost + self._motion_cost(state)
+
+    def _place(self, state):
+        links = self._fk(state)
+        lf, _ = links["leftfinger"]
+        rf, _ = links["rightfinger"]
+        gripper_dist = jnp.linalg.norm(lf - rf)
+        return 2.0 * (1.0 - gripper_dist)
+
+    def compute(self, state: pa.PandaEnvState, u, task: TaskParams, mode):
+        ext = pa.zero_ext(self.params)
+
+        def reach(_):
+            return self._reach(state, mode)
+
+        def pick(_):
+            return self._pick(state, task)
+
+        def place(_):
+            return self._place(state)
+
+        # panda task ids 4/5/6 -> branch 0/1/2
+        idx = jnp.clip(task.task_id - 4, 0, 2)
+        cost = jax.lax.switch(idx, [reach, pick, place], None)
+        return cost, ext

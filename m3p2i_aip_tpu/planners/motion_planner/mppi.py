@@ -1,0 +1,538 @@
+"""MPPI (Model Predictive Path Integral) control — functional JAX core.
+
+Re-design of the reference's torch implementation
+(``src/m3p2i_aip/planners/motion_planner/mppi.py``, itself derived from
+pytorch_mppi and NVlabs/storm) as a pure-functional, jit-once planner:
+
+  * the per-command mutable state (means, best trajectories, adaptive inverse
+    temperatures, RNG key) lives in an explicit :class:`MPPIState` pytree;
+  * the K rollouts are ``jax.vmap`` of the injected dynamics over the sample
+    axis and a ``lax.scan`` over the horizon (replacing K Isaac envs stepped
+    in a python loop, mppi.py:296-315);
+  * Halton-spline sampling is precomputed once at init as a basis-matrix
+    matmul (replacing the K*nu scipy spline fits at mppi.py:458-478);
+  * Savitzky–Golay smoothing is a precomputed [T, T] operator applied
+    on-device (replacing the host round-trip at mppi.py:256-263);
+  * the whole ``command`` is one jitted function — task switches arrive as
+    traced data (task id / goal / gripper / modes), never causing a retrace.
+
+Both reference modes are supported: ``mppi_mode='simple'`` (resample Gaussian
+noise each step, Williams-style update, mppi.py:335-363) and
+``'halton-spline'`` (cached Halton spline noise, STORM-style gradient mean
+update, mppi.py:381-428).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from m3p2i_aip_tpu.ops import (
+    bspline_interp_matrix,
+    discounted_traj_cost,
+    ensure_non_zero,
+    gaussian_halton_samples,
+    savgol_matrix,
+    scale_ctrl,
+)
+
+
+@dataclass
+class MPPIConfig:
+    """Planner hyper-parameters. Parity: MPPIConfig (mppi.py:9-59)."""
+
+    num_samples: int = 200
+    horizon: int = 12
+    nx: int = 4
+    mppi_mode: str = "halton-spline"
+    sampling_method: str = "halton"
+    noise_sigma: Optional[List[List[float]]] = None
+    noise_mu: Optional[List[float]] = None
+    device: str = "tpu"
+    lambda_: float = 1.0
+    update_lambda: bool = False
+    update_cov: bool = False
+    u_min: Optional[List[float]] = None
+    u_max: Optional[List[float]] = None
+    u_init: float = 0.0
+    U_init: Optional[List[List[float]]] = None
+    u_scale: float = 1.0
+    u_per_command: int = 1
+    rollout_var_discount: float = 0.95
+    sample_null_action: bool = False
+    sample_previous_plan: bool = True
+    sample_other_priors: bool = False
+    noise_abs_cost: bool = False
+    filter_u: bool = False
+    use_priors: bool = False
+    seed_val: int = 0
+    eta_u_bound: int = 10
+    eta_l_bound: int = 5
+
+
+@struct.dataclass
+class TaskParams:
+    """Per-tick task data swapped into the jitted planner (never a retrace).
+
+    Encodes the reference's Objective.update_objective(task, goal)
+    (cost_functions.py:15-17) + gripper command (m3p2i.py:10-14) as traced
+    values.  ``task_id``: 0 navigation, 1 push, 2 pull, 3 push_pull, 4 reach,
+    5 pick, 6 place.
+    """
+
+    task_id: jnp.ndarray  # int32 scalar
+    goal: jnp.ndarray  # [7] pos(3) + quat(4); 2D goals use [:2]
+    gripper: jnp.ndarray  # int32: 0 none, 1 open, 2 close
+
+
+TASK_IDS = {
+    "navigation": 0,
+    "push": 1,
+    "pull": 2,
+    "push_pull": 3,
+    "reach": 4,
+    "pick": 5,
+    "place": 6,
+    # non-planning tasks map to a safe default cost
+    "idle": 0,
+    "idle_success": 0,
+    "reactive_pick": 4,
+}
+
+
+def make_task_params(task: str, goal, gripper_command: str = "none") -> TaskParams:
+    g = np.zeros(7, dtype=np.float32)
+    goal = np.asarray(goal, dtype=np.float32).reshape(-1)
+    g[: goal.shape[0]] = goal
+    grip = {"none": 0, "open": 1, "close": 2}[gripper_command]
+    return TaskParams(
+        task_id=jnp.asarray(TASK_IDS[task], dtype=jnp.int32),
+        goal=jnp.asarray(g),
+        gripper=jnp.asarray(grip, dtype=jnp.int32),
+    )
+
+
+@struct.dataclass
+class MPPIState:
+    """Mutable planner state threaded through ``command`` calls."""
+
+    mean_action: jnp.ndarray  # [T, nu]
+    mean_action_1: jnp.ndarray
+    mean_action_2: jnp.ndarray
+    best_traj: jnp.ndarray
+    best_traj_1: jnp.ndarray
+    best_traj_2: jnp.ndarray
+    U: jnp.ndarray  # [T, nu] simple-mode nominal sequence
+    beta: jnp.ndarray  # adaptive inverse temperature (persistent, mppi.py:446-454)
+    weights: jnp.ndarray  # [K] last importance weights
+    rng: jax.Array  # PRNG key for 'random' sampling
+
+
+class MPPI:
+    """MPPI planner. Construction parity: MPPI.__init__ (mppi.py:82-203).
+
+    ``dynamics(sim_state, u, ext) -> sim_state`` and
+    ``running_cost(sim_state, u, task, mode) -> (cost, ext)`` operate on a
+    SINGLE env; the planner vmaps them over K samples.  ``ext`` is the
+    external-force pytree threaded from the cost into the next step —
+    the functional inversion of the reference's suction side effect
+    (cost_functions.py:71-76 mutating the live sim).
+    """
+
+    def __init__(
+        self,
+        cfg,
+        dynamics: Callable,
+        running_cost: Callable,
+        zero_ext: Callable,
+        traj_point: Optional[Callable] = None,
+        state_vector: Optional[Callable] = None,
+    ):
+        self.env_type = cfg.env_type
+        self.multi_modal = bool(cfg.multi_modal)
+        mcfg = cfg.mppi
+        self.cfg = mcfg
+        self.mppi_mode = mcfg.mppi_mode
+        self.sampling_method = mcfg.sampling_method
+
+        self.K = mcfg.num_samples
+        self.half_K = self.K // 2
+        self.T = mcfg.horizon
+        self.filter_u = mcfg.filter_u
+        self.lambda_ = mcfg.lambda_
+        self.sample_null_action = mcfg.sample_null_action
+        self.u_per_command = mcfg.u_per_command
+        self.u_scale = mcfg.u_scale
+
+        noise_sigma = mcfg.noise_sigma
+        if not noise_sigma:
+            noise_sigma = np.identity(int(mcfg.nx / 2)).tolist()
+        self.noise_sigma = np.asarray(noise_sigma, dtype=np.float32)
+        self.nu = self.noise_sigma.shape[0]
+        self.noise_mu = np.asarray(
+            mcfg.noise_mu or [0.0] * self.nu, dtype=np.float32
+        )
+        self.noise_sigma_inv = np.linalg.inv(self.noise_sigma)
+
+        u_max = mcfg.u_max
+        u_min = mcfg.u_min
+        if u_max and not u_min:
+            u_min = [-v for v in u_max]
+        if u_min and not u_max:
+            u_max = [-v for v in u_min]
+        self.u_min = jnp.asarray(u_min, dtype=jnp.float32)
+        self.u_max = jnp.asarray(u_max, dtype=jnp.float32)
+
+        self.nx = mcfg.nx
+        self.gamma = mcfg.rollout_var_discount
+        self.gamma_seq = jnp.asarray(
+            np.cumprod([1.0] + [self.gamma] * (self.T - 1)), dtype=jnp.float32
+        )
+        # STORM-lineage constants (mppi.py:168-203)
+        self.knot_scale = 4
+        self.n_knots = self.T // self.knot_scale
+        self.ndims = self.n_knots * self.nu
+        self.degree = 2
+        self.step_size_mean = 0.98
+        self.squash_fn = "clamp"
+        self.scale_tril = jnp.asarray(
+            np.sqrt(np.diagonal(self.noise_sigma)), dtype=jnp.float32
+        )
+        self.seed_val = mcfg.seed_val
+
+        # Savitzky–Golay operator (window 9 order 2, mppi.py:190-193)
+        sgf_window = min(9, self.T if self.T % 2 == 1 else self.T - 1)
+        self._sgf = jnp.asarray(
+            savgol_matrix(self.T, sgf_window, 2), dtype=jnp.float32
+        )
+
+        # Cached Halton-spline deltas [K, T, nu] (mppi.py:388-389, 458-478):
+        # gaussian-Halton knots -> spline basis matmul, zero-noise row at K-1
+        # (mppi.py:391-392).
+        self._delta = jnp.asarray(self._make_halton_spline_deltas())
+
+        # mode id per sample: first half mode 0, second half mode 1
+        self.sample_mode = jnp.asarray(
+            (np.arange(self.K) >= self.half_K).astype(np.int32)
+        )
+
+        self.F = dynamics
+        self.running_cost = running_cost
+        self.zero_ext = zero_ext
+        self.traj_point = traj_point
+        self.state_vector = state_vector
+
+        self._command = jax.jit(self._command_impl)
+
+    # ------------------------------------------------------------------ init
+    def _make_halton_spline_deltas(self) -> np.ndarray:
+        knots = gaussian_halton_samples(
+            self.K, self.ndims, scramble=True, seed_val=self.seed_val
+        ).astype(np.float32)
+        knots = knots.reshape(self.K, self.nu, self.n_knots)
+        M = bspline_interp_matrix(
+            self.n_knots, self.T, degree=self.degree, smoothing=0.5
+        ).astype(np.float32)
+        # [K, nu, n_knots] @ [n_knots, T] -> [K, nu, T] -> [K, T, nu]
+        samples = np.einsum("kun,tn->ktu", knots, M)
+        samples[-1] = 0.0  # zero-noise sequence so the mean is always sampled
+        return samples
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> MPPIState:
+        z = jnp.zeros((self.T, self.nu), dtype=jnp.float32)
+        rng = rng if rng is not None else jax.random.PRNGKey(self.seed_val)
+        rng, sub = jax.random.split(rng)
+        # reference initializes U by sampling the noise dist (mppi.py:134)
+        U0 = self.noise_mu + jax.random.multivariate_normal(
+            sub, jnp.asarray(self.noise_mu), jnp.asarray(self.noise_sigma),
+            shape=(self.T,),
+        )
+        return MPPIState(
+            mean_action=z,
+            mean_action_1=z,
+            mean_action_2=z,
+            best_traj=z,
+            best_traj_1=z,
+            best_traj_2=z,
+            U=U0.astype(jnp.float32),
+            beta=jnp.asarray(1.0),
+            weights=jnp.full((self.K,), 1.0 / self.K),
+            rng=rng,
+        )
+
+    # --------------------------------------------------------------- helpers
+    @staticmethod
+    def _shift(seq: jnp.ndarray) -> jnp.ndarray:
+        """Time-shift an action sequence, repeating the last action.
+
+        Parity: MPPI._shift_action (mppi.py:266-273).
+        """
+        return jnp.roll(seq, -1, axis=0).at[-1].set(seq[-1])
+
+    def _gripper_override(self, acts: jnp.ndarray, task: TaskParams) -> jnp.ndarray:
+        """Panda gripper channels 7,8 forced to +/-1.5 (mppi.py:346-350, 412-416)."""
+        if self.nu < 9:
+            return acts
+        val = jnp.where(task.gripper == 1, 1.5, jnp.where(task.gripper == 2, -1.5, 0.0))
+        use = task.gripper > 0
+        grip = jnp.where(use, val, acts[..., 7])
+        acts = acts.at[..., 7].set(grip)
+        grip8 = jnp.where(use, val, acts[..., 8])
+        return acts.at[..., 8].set(grip8)
+
+    def _rollout(self, sim_state0, acts: jnp.ndarray, task: TaskParams):
+        """Roll all K sampled sequences through the dynamics.
+
+        Parity: _compute_rollout_costs (mppi.py:275-332) — but as
+        vmap(dynamics) inside lax.scan over the horizon.
+        Returns (cost_horizon [K, T], traj_points [K, T, d]).
+        """
+        ext0 = jax.vmap(lambda _: self.zero_ext())(jnp.arange(self.K))
+        mode = self.sample_mode
+
+        def step_t(carry, u_t):
+            sim_state, ext = carry
+            sim_state = jax.vmap(self.F)(sim_state, u_t, ext)
+            cost, ext = jax.vmap(self.running_cost, in_axes=(0, 0, None, 0))(
+                sim_state, u_t, task, mode
+            )
+            tp = (
+                jax.vmap(self.traj_point)(sim_state)
+                if self.traj_point is not None
+                else jnp.zeros((self.K, 2))
+            )
+            return (sim_state, ext), (cost, tp)
+
+        acts_t = jnp.swapaxes(acts, 0, 1)  # [T, K, nu]
+        (_, _), (costs, tps) = jax.lax.scan(step_t, (sim_state0, ext0), acts_t)
+        return jnp.swapaxes(costs, 0, 1), jnp.swapaxes(tps, 0, 1)
+
+    # ---------------------------------------------------- weight computation
+    def _adaptive_beta_weights(self, costs, beta0, eta_u, eta_l, max_iter=64):
+        """Tune the inverse temperature until eta lands within bounds.
+
+        Parity: M3P2I.update_infinite_beta (m3p2i.py:24-44) — the reference's
+        unbounded ``while`` becomes a bounded ``lax.while_loop``.
+        """
+
+        def cond(carry):
+            beta, it = carry
+            eta = jnp.sum(jnp.exp((-1.0 / beta) * costs))
+            return ((eta > eta_u) | (eta < eta_l)) & (it < max_iter)
+
+        def body(carry):
+            beta, it = carry
+            eta = jnp.sum(jnp.exp((-1.0 / beta) * costs))
+            beta = jnp.where(eta > eta_u, beta * 0.9, jnp.where(eta < eta_l, beta * 1.2, beta))
+            return beta, it + 1
+
+        beta, _ = jax.lax.while_loop(cond, body, (beta0, jnp.asarray(0)))
+        exp_ = jnp.exp((-1.0 / beta) * costs)
+        return jnp.sum(exp_), exp_, beta
+
+    def _exp_util(self, cost_horizon, beta):
+        """Single-mode weights. Parity: MPPI._exp_util (mppi.py:430-456)."""
+        traj_costs = discounted_traj_cost(cost_horizon, self.gamma_seq)
+        total = traj_costs - jnp.min(traj_costs)
+        exp_ = jnp.exp((-1.0 / beta) * total)
+        eta = jnp.sum(exp_)
+        weights = exp_ / eta
+        if self.env_type == "panda_env":
+            # single-step beta adaptation, bounds 20/10 (mppi.py:446-454)
+            beta = jnp.where(eta > 20.0, beta * 0.9, jnp.where(eta < 10.0, beta * 1.2, beta))
+        return weights, beta
+
+    def _multi_modal_exp_util(self, cost_horizon):
+        """Per-mode + global adaptive-beta weights.
+
+        Parity: M3P2I._multi_modal_exp_util (m3p2i.py:46-64).  Note the
+        reference passes self.beta_* but never persists the tuned values —
+        each call starts from beta=1; replicated here.
+        """
+        traj_costs = discounted_traj_cost(cost_horizon, self.gamma_seq)
+        m0 = self.sample_mode == 0
+        inf = jnp.asarray(jnp.inf)
+        min0 = jnp.min(jnp.where(m0, traj_costs, inf))
+        min1 = jnp.min(jnp.where(~m0, traj_costs, inf))
+        tc0 = traj_costs - min0
+        tc1 = traj_costs - min1
+        tc = traj_costs - jnp.min(traj_costs)
+
+        one = jnp.asarray(1.0)
+        # masked etas: exclude the other mode's samples from the sums
+        def masked_beta(costs, mask, eta_u, eta_l):
+            big = jnp.where(mask, costs, jnp.inf)  # exp(-inf) = 0
+
+            def cond(c):
+                beta, it = c
+                eta = jnp.sum(jnp.exp((-1.0 / beta) * big))
+                return ((eta > eta_u) | (eta < eta_l)) & (it < 64)
+
+            def body(c):
+                beta, it = c
+                eta = jnp.sum(jnp.exp((-1.0 / beta) * big))
+                beta = jnp.where(eta > eta_u, beta * 0.9, jnp.where(eta < eta_l, beta * 1.2, beta))
+                return beta, it + 1
+
+            beta, _ = jax.lax.while_loop(cond, body, (one, jnp.asarray(0)))
+            exp_ = jnp.where(mask, jnp.exp((-1.0 / beta) * big), 0.0)
+            return jnp.sum(exp_), exp_
+
+        eta0, exp0 = masked_beta(tc0, m0, 10.0, 3.0)
+        eta1, exp1 = masked_beta(tc1, ~m0, 10.0, 3.0)
+        eta, exp_ = masked_beta(tc, jnp.ones_like(m0), 10.0, 3.0)
+        return exp0 / eta0, exp1 / eta1, exp_ / eta
+
+    # ---------------------------------------------------------------- update
+    def _update_halton(self, state: MPPIState, cost_horizon, actions):
+        """Distribution updates for halton-spline mode.
+
+        Parity: _update_distribution (mppi.py:485-503) and
+        _update_multi_modal_distribution (m3p2i.py:66-92).
+        """
+        if self.multi_modal:
+            w0, w1, w = self._multi_modal_exp_util(cost_horizon)
+            best0 = actions[jnp.argmax(w0)]
+            best1 = actions[jnp.argmax(w1)]
+            mean0 = jnp.einsum("k,ktu->tu", w0, actions)
+            mean1 = jnp.einsum("k,ktu->tu", w1, actions)
+            new_mean = jnp.einsum("k,ktu->tu", w, actions)
+            mean = (
+                (1.0 - self.step_size_mean) * state.mean_action
+                + self.step_size_mean * new_mean
+            )
+            return state.replace(
+                mean_action=mean,
+                mean_action_1=mean0,
+                mean_action_2=mean1,
+                best_traj_1=best0,
+                best_traj_2=best1,
+                weights=w,
+            )
+        w, beta = self._exp_util(cost_horizon, state.beta)
+        best = actions[jnp.argmax(w)]
+        new_mean = jnp.einsum("k,ktu->tu", w, actions)
+        mean = (
+            (1.0 - self.step_size_mean) * state.mean_action
+            + self.step_size_mean * new_mean
+        )
+        return state.replace(mean_action=mean, best_traj=best, weights=w, beta=beta)
+
+    # --------------------------------------------------------------- command
+    def command(self, state: MPPIState, sim_state, task: TaskParams):
+        """One replanning step.  ``sim_state`` is the single real-env state
+        (the planner broadcasts it over K, parity reactive_tamp.py:45-48).
+
+        Returns (action_sequence [u_per_command, nu], new_state, aux dict).
+        """
+        return self._command(state, sim_state, task)
+
+    def _command_impl(self, state: MPPIState, sim_state, task: TaskParams):
+        sim_state_k = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (self.K,) + x.shape), sim_state
+        )
+
+        if self.mppi_mode == "simple":
+            state, action, tps = self._command_simple(state, sim_state_k, task)
+        else:
+            state, action, tps = self._command_halton(state, sim_state_k, task)
+
+        if self.filter_u:
+            action = self._sgf[: action.shape[0], : action.shape[0]] @ action
+
+        # top-20 rollout positions for visualization (mppi.py:248-254)
+        k = min(20, self.K)
+        top_vals, top_idx = jax.lax.top_k(state.weights, k)
+        aux = {
+            "weights": state.weights,
+            "top_trajs": tps[top_idx],
+            "top_values": top_vals,
+        }
+        return action, state, aux
+
+    def _command_halton(self, state: MPPIState, sim_state_k, task: TaskParams):
+        # shift nominal sequences one step (mppi.py:236-242)
+        state = state.replace(
+            mean_action=self._shift(state.mean_action),
+            mean_action_1=self._shift(state.mean_action_1),
+            mean_action_2=self._shift(state.mean_action_2),
+            best_traj_1=self._shift(state.best_traj_1),
+            best_traj_2=self._shift(state.best_traj_2),
+        )
+
+        if self.sampling_method == "random":
+            rng, sub = jax.random.split(state.rng)
+            delta = jax.random.multivariate_normal(
+                sub, jnp.asarray(self.noise_mu), jnp.asarray(self.noise_sigma),
+                shape=(self.K, self.T),
+            ).astype(jnp.float32)
+            delta = delta.at[-1].set(0.0)
+            state = state.replace(rng=rng)
+        else:
+            delta = self._delta
+
+        scaled_delta = delta * self.scale_tril  # (mppi.py:394)
+        if self.multi_modal:
+            mean_m = jnp.where(
+                (self.sample_mode == 0)[:, None, None],
+                state.mean_action_1[None],
+                state.mean_action_2[None],
+            )
+            act_seq = mean_m + scaled_delta
+        else:
+            act_seq = state.mean_action[None] + scaled_delta
+        act_seq = scale_ctrl(act_seq, self.u_min, self.u_max, self.squash_fn)
+
+        if self.multi_modal:
+            # inject per-mode elite sequences at slots 0 and K/2 (mppi.py:407-409)
+            act_seq = act_seq.at[0].set(state.best_traj_1)
+            act_seq = act_seq.at[self.half_K].set(state.best_traj_2)
+
+        act_seq = self._gripper_override(act_seq, task)
+        if self.sample_null_action:
+            act_seq = act_seq.at[self.K - 1].set(0.0)  # braking sample (mppi.py:300-302)
+
+        cost_horizon, tps = self._rollout(sim_state_k, self.u_scale * act_seq, task)
+        actions = act_seq  # u_scale divided back out (mppi.py:420)
+
+        state = self._update_halton(state, cost_horizon, actions)
+        action = state.mean_action  # (mppi.py:245)
+        return state, action, tps
+
+    def _command_simple(self, state: MPPIState, sim_state_k, task: TaskParams):
+        """Parity: _compute_total_cost_batch_simple + U update (mppi.py:220-233,
+        335-363)."""
+        U = self._shift(state.U)  # torch.roll equivalent (mppi.py:221)
+        rng, sub = jax.random.split(state.rng)
+        noise = jax.random.multivariate_normal(
+            sub, jnp.asarray(self.noise_mu), jnp.asarray(self.noise_sigma),
+            shape=(self.K, self.T),
+        ).astype(jnp.float32)
+        perturbed = scale_ctrl(U[None] + noise, self.u_min, self.u_max, "clamp")
+        perturbed = self._gripper_override(perturbed, task)
+        if self.sample_null_action:
+            perturbed = perturbed.at[self.K - 1].set(0.0)
+
+        cost_horizon, tps = self._rollout(sim_state_k, self.u_scale * perturbed, task)
+        cost_total = jnp.sum(cost_horizon, axis=-1)
+
+        noise_b = perturbed - U[None]  # post-bounding noise (mppi.py:356)
+        action_cost = self.lambda_ * (
+            jnp.abs(noise_b) @ jnp.asarray(self.noise_sigma_inv)
+            if self.cfg.noise_abs_cost
+            else noise_b @ jnp.asarray(self.noise_sigma_inv)
+        )
+        cost_total = cost_total + jnp.sum(U[None] * action_cost, axis=(1, 2))
+
+        beta = jnp.min(cost_total)
+        nz = ensure_non_zero(cost_total, beta, 1.0 / self.lambda_)
+        weights = nz / jnp.sum(nz)
+        U = U + jnp.einsum("k,ktu->tu", weights, noise_b)
+        state = state.replace(U=U, weights=weights, rng=rng)
+        return state, U[: self.u_per_command], tps

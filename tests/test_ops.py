@@ -1,0 +1,216 @@
+"""Unit tests for m3p2i_aip_tpu.ops — golden values vs scipy and the reference
+algorithms reimplemented in pure numpy (SURVEY.md §4 test strategy)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from m3p2i_aip_tpu import ops
+
+
+# ---------------------------------------------------------------- quaternions
+def _rand_quat(rng, n):
+    q = rng.normal(size=(n, 4))
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def test_quat_to_rotmat_matches_scipy():
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(0)
+    q = _rand_quat(rng, 32)
+    ours = np.asarray(ops.quat_to_rotmat(jnp.asarray(q)))
+    theirs = Rotation.from_quat(q).as_matrix()  # scipy is also (x,y,z,w)
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_quat_rotate_consistent_with_matrix():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(_rand_quat(rng, 16))
+    v = jnp.asarray(rng.normal(size=(16, 3)))
+    r1 = ops.quat_rotate(q, v)
+    r2 = jnp.einsum("nij,nj->ni", ops.quat_to_rotmat(q), v)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+def test_quat_mul_identity_and_inverse():
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(_rand_quat(rng, 8))
+    ident = jnp.asarray([0.0, 0, 0, 1])
+    np.testing.assert_allclose(
+        np.asarray(ops.quat_mul(q, jnp.broadcast_to(ident, q.shape))),
+        np.asarray(q),
+        atol=1e-6,
+    )
+    qqinv = ops.quat_mul(q, ops.quat_conj(q))
+    np.testing.assert_allclose(
+        np.asarray(qqinv), np.broadcast_to(np.array([0, 0, 0, 1.0]), (8, 4)), atol=1e-6
+    )
+
+
+def test_yaw_roundtrip():
+    yaw = jnp.linspace(-3.0, 3.0, 11)
+    back = ops.yaw_from_quat(ops.quat_from_yaw(yaw))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(yaw), atol=1e-5)
+
+
+def test_ori_cost_zero_for_identical():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(_rand_quat(rng, 8))
+    # fp32 rotmat roundoff leaves O(1e-2) residue in 1-cos terms
+    np.testing.assert_allclose(np.asarray(ops.ori_cost_cube2goal(q, q)), 0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ops.general_ori_cube2goal(q, q)), 0, atol=2e-2)
+
+
+def test_general_ori_flip_invariant():
+    # A cube flipped 180 deg about x has axes matching up to sign — the
+    # "general" cost must be 0 while the plain cost is not (skill_utils:222-224).
+    q_id = jnp.asarray([[0.0, 0, 0, 1]])
+    q_flip = jnp.asarray([[1.0, 0, 0, 0]])  # 180deg about x
+    assert float(ops.general_ori_cube2goal(q_flip, q_id)[0]) < 1e-4
+    assert float(ops.ori_cost_cube2goal(q_flip, q_id)[0]) > 1.0
+
+
+def test_general_ori_ee2cube_tilt_zero_when_aligned():
+    q_id = jnp.asarray([[0.0, 0, 0, 1]])
+    c = ops.general_ori_ee2cube(q_id, q_id, tilt_value=0.0)
+    assert float(c[0]) < 1e-4
+
+
+# ------------------------------------------------------------------- sampling
+def _reference_van_der_corput(idx_batch, base):
+    """Direct reimplementation of mppi_utils.py:69-78 semantics for goldens."""
+    idx = np.array(idx_batch, dtype=np.int64)
+    f, r = 1.0, np.zeros(len(idx))
+    while np.any(idx > 0):
+        f /= base
+        r += f * (idx % base)
+        idx //= base
+    return r
+
+
+def test_van_der_corput_golden():
+    idx = np.arange(1, 33)
+    for base in (2, 3, 5, 7):
+        np.testing.assert_allclose(
+            ops.van_der_corput(idx, base), _reference_van_der_corput(idx, base)
+        )
+
+
+def test_halton_unscrambled_matches_reference_fallback():
+    got = ops.halton_samples(16, 3, scramble=False)
+    idx = np.arange(1, 17)
+    want = np.stack(
+        [_reference_van_der_corput(idx, b) for b in (2, 3, 5)], axis=1
+    )
+    np.testing.assert_allclose(got, want)
+
+
+def test_halton_scrambled_uniform_and_deterministic():
+    a = ops.halton_samples(512, 6, scramble=True, seed_val=0)
+    b = ops.halton_samples(512, 6, scramble=True, seed_val=0)
+    np.testing.assert_array_equal(a, b)
+    assert np.all(a > 0) and np.all(a < 1)
+    # Low-discrepancy: per-dim mean close to 0.5
+    np.testing.assert_allclose(a.mean(axis=0), 0.5, atol=0.02)
+
+
+def test_gaussian_halton_moments():
+    g = ops.gaussian_halton_samples(2048, 4, seed_val=0)
+    np.testing.assert_allclose(g.mean(axis=0), 0.0, atol=0.05)
+    np.testing.assert_allclose(g.std(axis=0), 1.0, atol=0.05)
+
+
+def test_prime_numbers():
+    assert ops.generate_prime_numbers(8) == [2, 3, 5, 7, 11, 13, 17, 19]
+
+
+# --------------------------------------------------------------------- spline
+def test_bspline_matrix_shape_and_endpoints():
+    M = ops.bspline_interp_matrix(3, 15, degree=2, smoothing=0.5)
+    assert M.shape == (15, 3)
+    # Partition of unity along rows (affine reproduction of constants).
+    np.testing.assert_allclose(M.sum(axis=1), 1.0, atol=1e-6)
+    knots = np.array([1.0, -2.0, 0.5])
+    traj = M @ knots
+    # Clamped ends reproduce the end knot values (ext=3 behavior).
+    np.testing.assert_allclose(traj[0], knots[0], atol=1e-6)
+    np.testing.assert_allclose(traj[-1], knots[-1], atol=1e-6)
+
+
+def test_bspline_matrix_close_to_scipy_smoothing_spline():
+    import scipy.interpolate as si
+
+    n_knots, T, degree = 3, 15, 2
+    M = ops.bspline_interp_matrix(n_knots, T, degree=degree, smoothing=0.5)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        c = rng.normal(size=n_knots)
+        t = np.linspace(0, n_knots, n_knots)
+        spl = si.splrep(t, c, k=degree, s=0.5)
+        want = si.splev(np.linspace(0, n_knots, T), spl, ext=3)
+        got = M @ c
+        # With n_knots=3 (the reference's T=15 and T=12 configs) the map is the
+        # exact interpolating parabola — identical to scipy.
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_bspline_larger_horizon_smooth():
+    M = ops.bspline_interp_matrix(7, 30, degree=2, smoothing=0.5)
+    rng = np.random.default_rng(1)
+    knots = rng.normal(size=7)
+    traj = M @ knots
+    # Smoother than the raw zero-order-hold: total variation reduced.
+    tv_traj = np.abs(np.diff(traj)).sum()
+    tv_hold = np.abs(np.diff(np.repeat(knots, 30 // 7 + 1)[:30])).sum()
+    assert tv_traj < tv_hold * 1.5
+
+
+# --------------------------------------------------------------------- savgol
+@pytest.mark.parametrize("n,window,order", [(15, 9, 2), (12, 9, 2), (30, 9, 2)])
+def test_savgol_matrix_matches_scipy(n, window, order):
+    from scipy.signal import savgol_filter
+
+    S = ops.savgol_matrix(n, window, order)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=n)
+    want = savgol_filter(x, window, order, mode="interp")
+    np.testing.assert_allclose(S @ x, want, atol=1e-8)
+
+
+def test_savgol_matrix_axis0_batch():
+    from scipy.signal import savgol_filter
+
+    S = ops.savgol_matrix(15, 9, 2)
+    rng = np.random.default_rng(5)
+    u = rng.normal(size=(15, 2))  # [T, nu] like the action sequence
+    want = savgol_filter(u, 9, 2, axis=0, mode="interp")
+    np.testing.assert_allclose(S @ u, want, atol=1e-8)
+
+
+# -------------------------------------------------------------------- control
+def test_scale_ctrl_clamp():
+    u = jnp.asarray([[-5.0, 0.2, 7.0]])
+    lo = jnp.asarray([-3.0, -3.0, -3.0])
+    hi = jnp.asarray([3.0, 3.0, 3.0])
+    out = np.asarray(ops.scale_ctrl(u, lo, hi))
+    np.testing.assert_allclose(out, [[-3.0, 0.2, 3.0]])
+
+
+def test_cost_to_go_golden():
+    # Reference formula (mppi_utils.py:106-113) on a concrete example.
+    costs = jnp.asarray([[1.0, 2.0, 3.0]])
+    gamma_seq = jnp.asarray([[1.0, 0.5, 0.25]])
+    got = np.asarray(ops.cost_to_go(costs, gamma_seq))
+    # t=2: 3; t=1: 2 + 0.5*3 (scaled) -> unscaled: (1.0+0.75)/0.5 = 3.5
+    want = np.array([[1 + 1.0 + 0.75, (1.0 + 0.75) / 0.5, 3.0]])
+    np.testing.assert_allclose(got, want)
+    first = np.asarray(ops.discounted_traj_cost(costs, gamma_seq))
+    np.testing.assert_allclose(first, want[:, 0])
+
+
+def test_ensure_non_zero():
+    c = jnp.asarray([1.0, 2.0])
+    out = np.asarray(ops.ensure_non_zero(c, 1.0, 2.0))
+    np.testing.assert_allclose(
+        out, np.exp(-2.0 * (np.array([1.0, 2.0]) - 1.0)), rtol=1e-5
+    )
