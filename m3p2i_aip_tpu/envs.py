@@ -1,0 +1,158 @@
+"""Unified environment abstraction over the JAX scene models.
+
+Replaces the reference's ``IsaacGymWrapper`` (isaacgym_wrapper.py:39-469) as
+the single construction point for a scene: per-actor YAML configs are packed
+into device arrays once, and the env is exposed as a bundle of *pure
+functions* closed over those params.  K MPPI rollouts are ``jax.vmap`` of
+``step`` over the state pytree; the "real system" is the same ``step`` at
+batch 1 — one engine for both roles (SURVEY.md §7 "Architecture stance"),
+replacing the reference's two Isaac Gym instances bridged by zerorpc.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from m3p2i_aip_tpu.models import panda_env, panda_fk, point_env
+from m3p2i_aip_tpu.sim.sim_config import load_env_cfgs
+
+
+@dataclass
+class Env:
+    """A scene as a bundle of pure functions (all closed over the params)."""
+
+    env_type: str
+    params: Any
+    nu: int  # action dimension (dofs per robot)
+    nx: int  # interleaved dof-state dimension
+    step: Callable  # (state, u, ext) -> state
+    init_state: Callable  # () -> state
+    zero_ext: Callable  # () -> ext pytree
+    dof_state_view: Callable  # (state) -> [nx]
+    load_dof_state: Callable  # (state, dof) -> state
+    root_state_view: Callable  # (state) -> [A, 13]
+    load_root_state: Callable  # (state, root) -> state
+    view: Callable  # (state) -> dict for the host-side task planner
+    traj_point: Callable  # (state) -> [2|3] point for trajectory viz
+    actor_names: tuple = ()
+    dyn_obs_slot: int = -1  # index into the dynamic-body array for "dyn-obs"
+
+
+def make_env(cfg) -> Env:
+    """Build the scene named by ``cfg.env_type`` from its per-actor YAMLs.
+
+    Parity: IsaacGymWrapper.__init__ + creat_env (isaacgym_wrapper.py:40-66,
+    242-267) — minus envs/viewer plumbing, which the functional design removes.
+    """
+    actors = load_env_cfgs(cfg.env_type)
+    if cfg.env_type == "point_env":
+        return _make_point_env(cfg, actors)
+    if cfg.env_type == "panda_env":
+        return _make_panda_env(cfg, actors)
+    raise ValueError(f"unknown env_type {cfg.env_type!r}")
+
+
+def _make_point_env(cfg, actors) -> Env:
+    params = point_env.build_params(actors, cfg.sim)
+    names = list(params.actor_names)
+    box_slot = (
+        params.dyn_actor_idx.index(names.index("box")) if "box" in names else 0
+    )
+    dynobs_slot = (
+        params.dyn_actor_idx.index(names.index("dyn-obs"))
+        if "dyn-obs" in names
+        else -1
+    )
+
+    def view(state):
+        """Named observations (parity: isaacgym_wrapper getters :120-188)."""
+        from m3p2i_aip_tpu.ops import quat as quat_ops
+
+        return {
+            "robot_pos": np.asarray(state.q),
+            "robot_vel": np.asarray(state.qd),
+            "box_pos": np.asarray(state.dyn_pos[box_slot]),
+            "box_quat": np.asarray(quat_ops.quat_from_yaw(state.dyn_yaw[box_slot])),
+        }
+
+    return Env(
+        env_type="point_env",
+        params=params,
+        nu=2,
+        nx=4,
+        step=lambda s, u, e: point_env.step(params, s, u, e),
+        init_state=lambda: point_env.init_state(params),
+        zero_ext=lambda: point_env.zero_ext(params),
+        dof_state_view=point_env.dof_state_view,
+        load_dof_state=point_env.load_dof_state,
+        root_state_view=lambda s: point_env.root_state_view(params, s),
+        load_root_state=lambda s, r: point_env.load_root_state(params, s, r),
+        view=view,
+        traj_point=lambda s: s.q,
+        actor_names=params.actor_names,
+        dyn_obs_slot=dynobs_slot,
+    )
+
+
+def _make_panda_env(cfg, actors) -> Env:
+    params = panda_env.build_params(actors, cfg.sim, cube_on_shelf=cfg.cube_on_shelf)
+
+    def view(state):
+        links = panda_fk.fk(state.q, params.base_pos)
+        lf_pos, lf_quat = links["leftfinger"]
+        rf_pos, _ = links["rightfinger"]
+        ee_pos = (lf_pos + rf_pos) / 2.0
+        return {
+            "cube_state": np.concatenate(
+                [np.asarray(state.body_pos[1]), np.asarray(state.body_quat[1])]
+            ),
+            "cube_goal": np.concatenate(
+                [np.asarray(state.body_pos[2]), np.asarray(state.body_quat[2])]
+            ),
+            "ee_state": np.concatenate([np.asarray(ee_pos), np.asarray(lf_quat)]),
+        }
+
+    def traj_point(state):
+        links = panda_fk.fk(state.q, params.base_pos)
+        return links["ee"][0][:2]
+
+    return Env(
+        env_type="panda_env",
+        params=params,
+        nu=9,
+        nx=18,
+        step=lambda s, u, e: panda_env.step(params, s, u, e),
+        init_state=lambda: panda_env.init_state(params),
+        zero_ext=lambda: panda_env.zero_ext(params),
+        dof_state_view=panda_env.dof_state_view,
+        load_dof_state=panda_env.load_dof_state,
+        root_state_view=lambda s: panda_env.root_state_view(params, s),
+        load_root_state=lambda s, r: panda_env.load_root_state(params, s, r),
+        view=view,
+        traj_point=traj_point,
+        actor_names=params.actor_names,
+        dyn_obs_slot=0,  # _DYN_NAMES order: dyn-obs first
+    )
+
+
+def update_dyn_obs(env: Env, state, i: int, period: int = 100):
+    """Oscillate the dynamic obstacle, host-driven.
+
+    Parity: IsaacGymWrapper.update_dyn_obs (isaacgym_wrapper.py:205-220):
+    point env moves dyn-obs by ±[0.01, 0.01] per tick in a square wave of the
+    given period; panda env's offsets are zero in the reference (kept so the
+    call sites match).
+    """
+    if env.dyn_obs_slot < 0:
+        return state
+    phase = i % period
+    sign = 1.0 if (period / 4 < phase < 3 * period / 4) else -1.0
+    if env.env_type == "point_env":
+        off = jnp.asarray([0.01, 0.01]) * sign
+        return state.replace(
+            dyn_pos=state.dyn_pos.at[env.dyn_obs_slot].add(off)
+        )
+    return state

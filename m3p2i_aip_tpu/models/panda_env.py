@@ -107,7 +107,12 @@ def build_params(
 
     dyn_idx = [dyn[n][0] for n in _DYN_NAMES]
     half = np.stack([np.asarray(dyn[n][1].size, np.float32) / 2 for n in _DYN_NAMES])
-    mass = np.asarray([dyn[n][1].mass for n in _DYN_NAMES], np.float32)
+    # PhysX default density 1000 kg/m^3 (the reference never applies YAML
+    # mass — isaacgym_wrapper.py:294-300 is commented out).
+    mass = np.asarray(
+        [1000.0 * float(np.prod(np.asarray(dyn[n][1].size))) for n in _DYN_NAMES],
+        np.float32,
+    )
     grav = np.asarray([1.0 if dyn[n][1].gravity else 0.0 for n in _DYN_NAMES], np.float32)
     ipos = np.stack([np.asarray(dyn[n][2], np.float32) for n in _DYN_NAMES])
 

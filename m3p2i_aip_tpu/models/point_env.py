@@ -126,8 +126,13 @@ def build_params(actors: List[ActorCfg], sim_cfg: SimConfig) -> PointEnvParams:
                 dyn_idx.append(i)
     stat = np.asarray(stat, dtype=np.float32).reshape(-1, 6)
     dyn = np.asarray(dyn, dtype=np.float32).reshape(-1, 7)
-    masses = dyn[:, 4]
     half = dyn[:, 2:4]
+    # Mass from PhysX's default density (1000 kg/m^3): the reference's YAML
+    # mass is never applied — the set_rigid_body_properties block is commented
+    # out (isaacgym_wrapper.py:294-300) — so Isaac's procedural boxes weigh
+    # density * volume (the 0.4x0.4x0.1 box = 16 kg), which is what makes the
+    # +-500-clamped suction force (skill_utils.py:92) well-behaved.
+    masses = 1000.0 * (2 * half[:, 0]) * (2 * half[:, 1]) * (2 * dyn[:, 6])
     # box inertia about z: m*(w^2+h^2)/12 with w=2*hx etc.
     inertia = masses * ((2 * half[:, 0]) ** 2 + (2 * half[:, 1]) ** 2) / 12.0
     return PointEnvParams(

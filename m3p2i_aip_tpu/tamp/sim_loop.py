@@ -1,0 +1,146 @@
+"""Real-system loop: the single "actuated" env driven by the TAMP planner.
+
+Parity target: ``scripts/sim.py`` (run_sim, :19-58).  Same engine as the
+rollouts, at batch 1, in the same process — the zerorpc round-trip per tick
+(sim.py:41-49) becomes two in-process calls on the jitted engine.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m3p2i_aip_tpu.envs import Env, make_env, update_dyn_obs
+from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+from m3p2i_aip_tpu.utils import skill_utils
+
+
+def real_suction_ext(cfg, env: Env, state, action):
+    """Suction force pair for the REAL env (threshold 1.5), or zero forces.
+
+    Parity: skill_utils.check_and_apply_suction (:36-44) +
+    check_suction_condition (:47-56) + calculate_suction real-env branch
+    (:77-82): apply only for pull-family tasks with suction granted, the robot
+    within 0.6 m of the box, and the action pointing away from the box.
+    """
+    ext = env.zero_ext()
+    if env.env_type != "point_env":
+        return ext
+    box_slot = None
+    names = list(env.params.actor_names)
+    if "box" in names:
+        box_slot = env.params.dyn_actor_idx.index(names.index("box"))
+    if box_slot is None:
+        return ext
+    box_pos = state.dyn_pos[box_slot]
+    if not skill_utils.check_suction_condition(
+        cfg.task, bool(cfg.suction_active), state.q, box_pos, action
+    ):
+        return ext
+    f_box, f_robot = skill_utils.calculate_suction(
+        box_pos, state.q, float(cfg.kp_suction), threshold=1.5
+    )
+    return ext.replace(robot=f_robot, dyn=ext.dyn.at[box_slot].set(f_box))
+
+
+@dataclass
+class TickLog:
+    """Per-run statistics in the reference's log spirit (plot_point.py:26-34)."""
+
+    robot_pos: List = field(default_factory=list)
+    robot_vel: List = field(default_factory=list)
+    box_pos: List = field(default_factory=list)
+    task: List = field(default_factory=list)
+    replan_s: List = field(default_factory=list)
+    sim_s: List = field(default_factory=list)
+    collisions: int = 0
+    steps: int = 0
+    success_step: Optional[int] = None
+
+
+class SimLoop:
+    """Owns the real env state and the TAMP planner; steps them in lock-step."""
+
+    def __init__(self, cfg, tamp: Optional[ReactiveTAMP] = None) -> None:
+        self.cfg = cfg
+        self.tamp = tamp if tamp is not None else ReactiveTAMP(cfg)
+        self.env = self.tamp.env
+        self._step = jax.jit(self.env.step)
+        self.state = self.env.init_state()
+        self.log = TickLog()
+
+    def warmup(self, n: int = 150) -> None:
+        """Settle the scene before planning (sim.py:32-33)."""
+        zero_u = jnp.zeros(self.env.nu)
+        ext = self.env.zero_ext()
+        for _ in range(n):
+            self.state = self._step(self.state, zero_u, ext)
+        jax.block_until_ready(self.state)
+
+    def tick(self, i: int) -> bool:
+        """One control tick. Returns True once the task is reported done.
+
+        Parity: the sim.py main-loop body (:37-58) minus viewer/keyboard.
+        """
+        self.state = update_dyn_obs(self.env, self.state, i)
+
+        t0 = time.perf_counter()
+        action = self.tamp.run_tamp(self.state)
+        action = jax.block_until_ready(action)
+        t1 = time.perf_counter()
+
+        self.cfg.suction_active = bool(self.tamp.get_suction())
+        ext = real_suction_ext(self.cfg, self.env, self.state, action)
+        self.state = jax.block_until_ready(self._step(self.state, action, ext))
+        t2 = time.perf_counter()
+
+        self.log.steps += 1
+        self.log.replan_s.append(t1 - t0)
+        self.log.sim_s.append(t2 - t1)
+        self.log.task.append(self.tamp.task_planner.task)
+        if self.env.env_type == "point_env":
+            v = self.env.view(self.state)
+            self.log.robot_pos.append(v["robot_pos"])
+            self.log.robot_vel.append(v["robot_vel"])
+            self.log.box_pos.append(v["box_pos"])
+            if (
+                self.env.dyn_obs_slot >= 0
+                and float(
+                    jnp.abs(
+                        self.state.contact_force[
+                            self.env.params.dyn_actor_idx[self.env.dyn_obs_slot]
+                        ][:2]
+                    ).sum()
+                )
+                > 0.1
+            ):
+                self.log.collisions += 1
+        if self.tamp.task_success and self.log.success_step is None:
+            self.log.success_step = i
+        return bool(self.tamp.task_success)
+
+    def run(self, n_steps: int = 1000, realtime: bool = False, verbose: bool = False):
+        """Run until success or ``n_steps``. Parity: sim.py:36-58."""
+        t = time.time()
+        for i in range(n_steps):
+            done = self.tick(i)
+            if realtime:
+                t = skill_utils.time_tracking(t, self.cfg.sim.dt, verbose=verbose)
+            if done:
+                break
+        return self.log
+
+
+def run_sim(cfg, n_steps: Optional[int] = None, warmup: int = 150, **kwargs):
+    """Build everything from config and run — the one-process reactive TAMP.
+
+    Replaces the two-terminal reactive_tamp.py + sim.py workflow with a
+    single call; returns the TickLog.
+    """
+    loop = SimLoop(cfg)
+    loop.warmup(warmup)
+    return loop.run(n_steps or cfg.n_steps, **kwargs)

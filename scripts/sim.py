@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Real-system loop — the reference's two-terminal workflow, terminal 2.
+
+Parity target: ``scripts/sim.py`` (run_sim:19-58): single actuated env,
+150-step warmup, per-tick RPC to the planner server, suction application,
+soft real-time pacing.
+
+Run in the command line (after starting scripts/reactive_tamp.py):
+    python3 scripts/sim.py
+    python3 scripts/sim.py task=pull
+    python3 scripts/sim.py task=push_pull
+    python3 scripts/sim.py -cn config_panda
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from m3p2i_aip_tpu.config.config_store import load_config_from_argv
+from m3p2i_aip_tpu.envs import make_env, update_dyn_obs
+from m3p2i_aip_tpu.tamp.sim_loop import real_suction_ext
+from m3p2i_aip_tpu.utils import rpc
+from m3p2i_aip_tpu.utils.skill_utils import time_tracking
+
+
+def run_sim(argv) -> None:
+    cfg = load_config_from_argv(argv, default_config="config_point")
+    env = make_env(cfg)
+    step = jax.jit(env.step)
+    state = env.init_state()
+
+    planner = rpc.Client().connect("127.0.0.1", 4242)
+    print("Server found and wait for the warmup")
+    zero_u, zero_ext = jnp.zeros(env.nu), env.zero_ext()
+    for _ in range(150):
+        state = step(state, zero_u, zero_ext)
+    print("Start simulation!")
+
+    t = time.time()
+    for i in range(10000):
+        state = update_dyn_obs(env, state, i)
+        action = jnp.asarray(
+            planner.run_tamp(env.dof_state_view(state), env.root_state_view(state))
+        )
+        cfg.suction_active = bool(planner.get_suction())
+        ext = real_suction_ext(cfg, env, state, action)
+        state = step(state, action, ext)
+        t = time_tracking(t, cfg.sim.dt)
+
+
+if __name__ == "__main__":
+    run_sim(sys.argv[1:])
