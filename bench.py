@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Headline benchmark: M3P2I replanning rate on the reference workload.
+
+Measures the full replanning step — K=200 rollouts x T=15 horizon of the JAX
+physics engine, multi-modal push/pull costs + suction, importance-weighted
+update, trajectory extraction — on the point env, end to end (host task
+planner included), on whatever accelerator JAX picks (TPU under the driver).
+
+Baseline: the reference's logged motion-planner rate is 12.9-21.2 Hz mean per
+scenario at the same K=200 x T=15 on an NVIDIA GPU via Isaac Gym
+(BASELINE.md "Throughput / rates"); vs_baseline uses the best scenario mean,
+21.2 Hz.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Hz", "vs_baseline": N}
+"""
+import json
+import time
+
+BASELINE_HZ = 21.2  # best reference scenario mean (plot/point/*.npy col 16)
+
+
+def main() -> None:
+    import jax
+
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.tamp.sim_loop import SimLoop
+
+    cfg = load_config(
+        "config_point",
+        ["task=push_pull", "multi_modal=True", "goal=[-3.75,-3.75]"],
+    )
+    loop = SimLoop(cfg)
+    loop.warmup(50)
+
+    # compile + settle (first call traces; a few more to stabilize caches)
+    for i in range(3):
+        loop.tick(i)
+
+    n = 50
+    t0 = time.perf_counter()
+    for i in range(3, 3 + n):
+        loop.tamp.task_success = False  # keep replanning even after success
+        loop.tick(i)
+    dt = time.perf_counter() - t0
+
+    hz = n / dt
+    print(
+        json.dumps(
+            {
+                "metric": "m3p2i_replan_rate_point_K200_T15_multimodal",
+                "value": round(hz, 2),
+                "unit": "Hz",
+                "vs_baseline": round(hz / BASELINE_HZ, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

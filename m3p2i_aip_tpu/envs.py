@@ -101,10 +101,13 @@ def _make_panda_env(cfg, actors) -> Env:
     params = panda_env.build_params(actors, cfg.sim, cube_on_shelf=cfg.cube_on_shelf)
 
     def view(state):
+        from m3p2i_aip_tpu.ops import quat as quat_ops
+
         links = panda_fk.fk(state.q, params.base_pos)
-        lf_pos, lf_quat = links["leftfinger"]
+        lf_pos, lf_rot = links["leftfinger"]
         rf_pos, _ = links["rightfinger"]
         ee_pos = (lf_pos + rf_pos) / 2.0
+        ee_quat = quat_ops.mat_to_quat(lf_rot)
         return {
             "cube_state": np.concatenate(
                 [np.asarray(state.body_pos[1]), np.asarray(state.body_quat[1])]
@@ -112,7 +115,7 @@ def _make_panda_env(cfg, actors) -> Env:
             "cube_goal": np.concatenate(
                 [np.asarray(state.body_pos[2]), np.asarray(state.body_quat[2])]
             ),
-            "ee_state": np.concatenate([np.asarray(ee_pos), np.asarray(lf_quat)]),
+            "ee_state": np.concatenate([np.asarray(ee_pos), np.asarray(ee_quat)]),
         }
 
     def traj_point(state):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -38,7 +39,7 @@ class PandaEnvState:
     body_om: jnp.ndarray  # [3, 3]
     attached: jnp.ndarray  # [] float, 1.0 when cubeA welded to hand
     attach_pos: jnp.ndarray  # [3] cube pos in hand frame
-    attach_quat: jnp.ndarray  # [4] cube ori in hand frame
+    attach_rot: jnp.ndarray  # [3, 3] cube ori in hand frame (rotation matrix)
     contact_force: jnp.ndarray  # [A, 3]
 
 
@@ -162,7 +163,7 @@ def init_state(params: PandaEnvParams) -> PandaEnvState:
         body_om=jnp.zeros((3, 3)),
         attached=jnp.asarray(0.0),
         attach_pos=jnp.zeros(3),
-        attach_quat=jnp.asarray([0.0, 0, 0, 1]),
+        attach_rot=jnp.eye(3),
         contact_force=jnp.zeros((params.num_actors, 3)),
     )
 
@@ -172,7 +173,15 @@ def zero_ext(params: PandaEnvParams) -> PandaExtForces:
 
 
 def _sphere_vs_aabb(center, radius, bmin, bmax):
-    """Penetration + outward normal of a sphere against an AABB (3D)."""
+    """Penetration + outward normal of a sphere against an AABB (3D).
+
+    Gather-free formulation: the push-out axis/sign selection uses arithmetic
+    one-hot masks instead of ``argmin`` + ``take_along_axis`` / ``eye[idx]``.
+    Computed-index gathers inside XLA:CPU loop fusions re-evaluate their
+    (here: whole-FK-chain) operands per output element — measured ~500x
+    slowdown of the vmapped step; masks fuse cleanly on both CPU and TPU
+    (VPU-friendly select ops, no dynamic addressing).
+    """
     closest = jnp.clip(center, bmin, bmax)
     diff = center - closest
     dist = jnp.linalg.norm(diff, axis=-1)
@@ -181,17 +190,12 @@ def _sphere_vs_aabb(center, radius, bmin, bmax):
     sep_lo = center - bmin
     sep_hi = bmax - center
     sep = jnp.minimum(sep_lo, sep_hi)
-    axis = jnp.argmin(sep, axis=-1)
-    sign = jnp.where(
-        jnp.take_along_axis(sep_hi, axis[..., None], -1)[..., 0]
-        < jnp.take_along_axis(sep_lo, axis[..., None], -1)[..., 0],
-        1.0,
-        -1.0,
-    )
-    n_inside = jnp.zeros_like(center).at[..., 0].set(0.0)
-    eye = jnp.eye(3)
-    n_inside = sign[..., None] * eye[axis]
-    pen_inside = radius + jnp.min(sep, axis=-1)
+    min_sep = jnp.min(sep, axis=-1, keepdims=True)
+    one_hot = (sep <= min_sep).astype(center.dtype)
+    one_hot = one_hot / jnp.sum(one_hot, axis=-1, keepdims=True)  # break ties
+    sign = jnp.where(sep_hi < sep_lo, 1.0, -1.0)
+    n_inside = sign * one_hot
+    pen_inside = radius + min_sep[..., 0]
     normal = jnp.where(inside[..., None], n_inside, diff / jnp.maximum(dist, 1e-9)[..., None])
     pen = jnp.where(inside, pen_inside, radius - dist)
     return pen, normal
@@ -214,28 +218,35 @@ def step(
     bpos, bquat = state.body_pos, state.body_quat
     bvel, bom = state.body_vel, state.body_om
     attached = state.attached
-    attach_pos, attach_quat = state.attach_pos, state.attach_quat
+    attach_pos, attach_rot = state.attach_pos, state.attach_rot
     force_accum = jnp.zeros((params.num_actors, 3))
 
     gripper_closing = u_target[7] < 0.0
 
+    vel_lim = jnp.asarray(panda_fk.JOINT_VEL_LIMIT)
+    acc_lim = jnp.asarray(panda_fk.JOINT_ACCEL_LIMIT)
+    u_clamped = jnp.clip(u_target, -vel_lim, vel_lim)
+
     for _ in range(params.substeps):
         # --- joint velocity drive + integrate + limits ----------------------
-        qd = u_target + (qd - u_target) * decay
+        # First-order velocity tracking with drive-force (acceleration)
+        # saturation — see JOINT_ACCEL_LIMIT in panda_fk.py.
+        dv = (u_clamped - qd) * (1.0 - decay)
+        qd = qd + jnp.clip(dv, -acc_lim * h, acc_lim * h)
         q = jnp.clip(q + qd * h, params.joint_lower, params.joint_upper)
 
         links = panda_fk.fk(q, params.base_pos)
-        hand_pos, hand_quat = links["hand"]
+        hand_pos, hand_rot = links["hand"]
         tip_pos, _ = links["fingertip"]
 
         # --- grasp attach / detach -----------------------------------------
         cube_pos = bpos[1]
         near = jnp.linalg.norm(tip_pos - cube_pos) < params.grasp_range
         do_attach = (attached < 0.5) & gripper_closing & near
-        rel_pos = quat_ops.quat_inv_rotate(hand_quat, cube_pos - hand_pos)
-        rel_quat = quat_ops.quat_mul(quat_ops.quat_conj(hand_quat), bquat[1])
+        rel_pos = (cube_pos - hand_pos) @ hand_rot  # == hand_rot.T @ d
+        rel_rot = hand_rot.T @ quat_ops.quat_to_rotmat(bquat[1])
         attach_pos = jnp.where(do_attach, rel_pos, attach_pos)
-        attach_quat = jnp.where(do_attach, rel_quat, attach_quat)
+        attach_rot = jnp.where(do_attach, rel_rot, attach_rot)
         attached = jnp.where(do_attach, 1.0, attached)
         attached = jnp.where(~gripper_closing, 0.0, attached)
 
@@ -290,8 +301,8 @@ def step(
         bpos = new_pos
 
         # --- attached cube follows the hand ----------------------------------
-        held_pos = hand_pos + quat_ops.quat_rotate(hand_quat, attach_pos)
-        held_quat = quat_ops.quat_mul(hand_quat, attach_quat)
+        held_pos = hand_pos + hand_rot @ attach_pos
+        held_quat = quat_ops.mat_to_quat(hand_rot @ attach_rot)
         is_att = attached > 0.5
         new_vel = (held_pos - bpos[1]) / h
         bpos = bpos.at[1].set(jnp.where(is_att, held_pos, bpos[1]))
@@ -301,31 +312,34 @@ def step(
         bvel = bvel.at[1].set(jnp.where(is_att, new_vel, bvel[1]))
 
         # --- arm collision sensing (table / shelf / cubeB lateral hits) ------
-        probes = jnp.stack(
-            [
-                links["link4"][0],
-                links["link5"][0],
-                links["link6"][0],
-                hand_pos,
-                links["leftfinger"][0],
-                links["rightfinger"][0],
-                tip_pos,
-            ]
-        )  # [L, 3]
-        pen_a, normal_a = _sphere_vs_aabb(
-            probes[:, None, :], 0.05, params.stat_min[None], params.stat_max[None]
-        )  # [L, S]
-        hit = jnp.maximum(pen_a, 0.0)
-        f_arm = (hit[..., None] * normal_a) * 2000.0  # synthetic sensing force
-        force_accum = force_accum.at[stat_actor].add(-f_arm.sum(0))
-        force_accum = force_accum.at[params.robot_actor_idx].add(f_arm.sum((0, 1)))
-
-        # arm probes vs cubeB (treated as an AABB around its pose)
+        # NOTE: the probe links are processed in an unrolled Python loop, NOT
+        # jnp.stack-ed: a concatenate of the (expensive) FK chains feeding
+        # multiple reduce consumers triggers a combinatorial re-evaluation
+        # blowup in XLA:CPU's fusion emitter (measured 426 ms vs 1 ms for the
+        # same math per-probe at K=16).  Per-probe unrolling fuses each FK
+        # chain into exactly one consumer group on both CPU and TPU.
+        probe_links = (
+            links["link4"][0],
+            links["link5"][0],
+            links["link6"][0],
+            hand_pos,
+            links["leftfinger"][0],
+            links["rightfinger"][0],
+            tip_pos,
+        )
         cb_min = bpos[2] - params.body_half[2]
         cb_max = bpos[2] + params.body_half[2]
-        pen_b, normal_b = _sphere_vs_aabb(probes, 0.04, cb_min[None], cb_max[None])
-        f_b = (jnp.maximum(pen_b, 0.0)[..., None] * normal_b) * 2000.0
-        force_accum = force_accum.at[dyn_actor[2]].add(-f_b.sum(0))
+        for pr in probe_links:
+            pen_a, normal_a = _sphere_vs_aabb(
+                pr[None, :], 0.05, params.stat_min, params.stat_max
+            )  # [S]
+            f_arm = (jnp.maximum(pen_a, 0.0)[..., None] * normal_a) * 2000.0
+            force_accum = force_accum.at[stat_actor].add(-f_arm)
+            force_accum = force_accum.at[params.robot_actor_idx].add(f_arm.sum(0))
+            # probe vs cubeB (treated as an AABB around its pose)
+            pen_b, normal_b = _sphere_vs_aabb(pr, 0.04, cb_min, cb_max)
+            f_b = (jnp.maximum(pen_b, 0.0)[..., None] * normal_b) * 2000.0
+            force_accum = force_accum.at[dyn_actor[2]].add(-f_b)
 
         # held/free cubeA vs cubeB contact (pushes cubeB, records force)
         pen_ab, normal_ab = _sphere_vs_aabb(
@@ -335,6 +349,7 @@ def step(
         f_ab = hit_ab[..., None] * normal_ab * 2000.0
         force_accum = force_accum.at[dyn_actor[2]].add(-f_ab)
         bpos = bpos.at[2, :2].add(-jnp.where(hit_ab > 0, 1.0, 0.0) * normal_ab[:2] * hit_ab * 0.5)
+
 
     n = params.substeps
     return state.replace(
@@ -346,7 +361,7 @@ def step(
         body_om=bom,
         attached=attached,
         attach_pos=attach_pos,
-        attach_quat=attach_quat,
+        attach_rot=attach_rot,
         contact_force=force_accum / n,
     )
 

@@ -1,6 +1,7 @@
 """Core math ops: quaternions, quasi-random sampling, splines, filters, control."""
 from m3p2i_aip_tpu.ops.quat import (
     quat_to_rotmat,
+    mat_to_quat,
     quat_mul,
     quat_conj,
     quat_rotate,
@@ -13,6 +14,7 @@ from m3p2i_aip_tpu.ops.quat import (
     ori_cost_ee2cube,
     general_ori_cube2goal,
     general_ori_ee2cube,
+    general_ori_ee2cube_mat,
 )
 from m3p2i_aip_tpu.ops.sampling import (
     generate_prime_numbers,

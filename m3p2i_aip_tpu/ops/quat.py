@@ -98,6 +98,36 @@ def quat_integrate(q: jnp.ndarray, omega: jnp.ndarray, dt: float) -> jnp.ndarray
     return quat_normalize(q + dq)
 
 
+def mat_to_quat(m: jnp.ndarray) -> jnp.ndarray:
+    """(x, y, z, w) quaternion from a rotation matrix [..., 3, 3].
+
+    Branch-free Shepperd selection via ``where`` over the four candidate
+    formulations (numerically safe for any proper rotation).
+    """
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    def mk(x, y, z, w):
+        return jnp.stack([x, y, z, w], axis=-1)
+
+    s0 = jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12)) * 2.0
+    c0 = mk((m21 - m12) / s0, (m02 - m20) / s0, (m10 - m01) / s0, 0.25 * s0)
+    s1 = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 2.0
+    c1 = mk(0.25 * s1, (m01 + m10) / s1, (m02 + m20) / s1, (m21 - m12) / s1)
+    s2 = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 1e-12)) * 2.0
+    c2 = mk((m01 + m10) / s2, 0.25 * s2, (m12 + m21) / s2, (m02 - m20) / s2)
+    s3 = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 1e-12)) * 2.0
+    c3 = mk((m02 + m20) / s3, (m12 + m21) / s3, 0.25 * s3, (m10 - m01) / s3)
+
+    use0 = (tr > 0.0)[..., None]
+    use1 = ((m00 >= m11) & (m00 >= m22))[..., None]
+    use2 = (m11 >= m22)[..., None]
+    q = jnp.where(use0, c0, jnp.where(use1, c1, jnp.where(use2, c2, c3)))
+    return quat_normalize(q)
+
+
 # --------------------------------------------------------------------------
 # Orientation costs (cost_functions helpers in the reference)
 # --------------------------------------------------------------------------
@@ -152,7 +182,14 @@ def general_ori_ee2cube(
     ``tilt_value`` is a static Python float (selects the branch at trace time,
     matching the reference which branches on it in Python).
     """
-    er = quat_to_rotmat(ee_q)
+    return general_ori_ee2cube_mat(quat_to_rotmat(ee_q), cube_q, tilt_value)
+
+
+def general_ori_ee2cube_mat(
+    er: jnp.ndarray, cube_q: jnp.ndarray, tilt_value: float = 0.0
+) -> jnp.ndarray:
+    """:func:`general_ori_ee2cube` with the ee orientation already a rotation
+    matrix [..., 3, 3] (the native output of the matrix FK)."""
     cr = quat_to_rotmat(cube_q)
     ee_y = er[..., :, 1]
     ee_z = er[..., :, 2]

@@ -28,7 +28,10 @@ import jax.numpy as jnp
 
 from m3p2i_aip_tpu.models import panda_env as pa
 from m3p2i_aip_tpu.models import point_env as pe
-from m3p2i_aip_tpu.ops import general_ori_cube2goal, general_ori_ee2cube
+from m3p2i_aip_tpu.ops import (
+    general_ori_cube2goal,
+    general_ori_ee2cube_mat,
+)
 from m3p2i_aip_tpu.planners.motion_planner.mppi import TaskParams
 from m3p2i_aip_tpu.utils.skill_utils import calculate_suction
 
@@ -175,7 +178,7 @@ class PandaObjective:
 
     def _reach(self, state, mode):
         links = self._fk(state)
-        ee_pos, ee_quat = links["ee"]
+        ee_pos, ee_rot = links["ee"]
         cube_pos = state.body_pos[self.cubeA_slot]
         cube_quat = state.body_quat[self.cubeA_slot]
 
@@ -189,12 +192,12 @@ class PandaObjective:
             goal = jnp.where(mode == 0, top_goal, side_goal)
             tilt_cost = jnp.where(
                 mode == 0,
-                general_ori_ee2cube(ee_quat, cube_quat, tilt_value=0.0),
-                general_ori_ee2cube(ee_quat, cube_quat, tilt_value=tilt),
+                general_ori_ee2cube_mat(ee_rot, cube_quat, tilt_value=0.0),
+                general_ori_ee2cube_mat(ee_rot, cube_quat, tilt_value=tilt),
             )
         else:
             goal = top_goal
-            tilt_cost = general_ori_ee2cube(ee_quat, cube_quat, tilt_value=0.0)
+            tilt_cost = general_ori_ee2cube_mat(ee_rot, cube_quat, tilt_value=0.0)
         reach_cost = jnp.linalg.norm(ee_pos - goal)
         return 10.0 * reach_cost + 3.0 * tilt_cost
 

@@ -71,6 +71,7 @@ class MPPIConfig:
     noise_abs_cost: bool = False
     filter_u: bool = False
     use_priors: bool = False
+    fine_noise_scale: float = 0.05  # scale of the fine-sampling quartile (extension)
     seed_val: int = 0
     eta_u_bound: int = 10
     eta_l_bound: int = 5
@@ -194,6 +195,7 @@ class MPPI:
         self.gamma_seq = jnp.asarray(
             np.cumprod([1.0] + [self.gamma] * (self.T - 1)), dtype=jnp.float32
         )
+        self.fine_noise_scale = getattr(mcfg, "fine_noise_scale", 0.05)
         # STORM-lineage constants (mppi.py:168-203)
         self.knot_scale = 4
         self.n_knots = self.T // self.knot_scale
@@ -228,7 +230,27 @@ class MPPI:
         self.traj_point = traj_point
         self.state_vector = state_vector
 
+        self.mesh = None  # optional device mesh; see parallel/mesh.py
         self._command = jax.jit(self._command_impl)
+
+    def set_mesh(self, mesh) -> None:
+        """Shard the K sample axis over ``mesh`` (re-jits the command).
+
+        One ``with_sharding_constraint`` on the [K, T, nu] action tensor is
+        enough: GSPMD partitions the vmapped rollout per chip and inserts the
+        all-reduces for the weight computation's global min/sum/argmax.
+        """
+        self.mesh = mesh
+        self._command = jax.jit(self._command_impl)
+
+    def _constrain_samples(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, PartitionSpec("samples"))
+        )
 
     # ------------------------------------------------------------------ init
     def _make_halton_spline_deltas(self) -> np.ndarray:
@@ -241,6 +263,18 @@ class MPPI:
         ).astype(np.float32)
         # [K, nu, n_knots] @ [n_knots, T] -> [K, nu, T] -> [K, T, nu]
         samples = np.einsum("kun,tn->ktu", knots, M)
+        # Multi-scale sampling (extension over the reference): the last
+        # quarter of each mode's half-batch is scaled down to fine noise.
+        # A single coarse scale (scale_tril ~ sqrt(10) rad/s for the panda)
+        # leaves a ~2 cm terminal-positioning floor — below what the panda
+        # task planner's reach->pick gate needs (pre_height_diff + 5 mm,
+        # task_planner.py:58-76).  Fine rows let the importance weights
+        # resolve millimetre corrections near convergence at zero runtime
+        # cost (the deltas are precomputed).
+        for start in (0, self.half_K):
+            half = self.half_K if self.K > 1 else self.K
+            fine_lo = start + (3 * half) // 4
+            samples[fine_lo : start + half] *= self.fine_noise_scale
         samples[-1] = 0.0  # zero-noise sequence so the mean is always sampled
         return samples
 
@@ -497,6 +531,7 @@ class MPPI:
         act_seq = self._gripper_override(act_seq, task)
         if self.sample_null_action:
             act_seq = act_seq.at[self.K - 1].set(0.0)  # braking sample (mppi.py:300-302)
+        act_seq = self._constrain_samples(act_seq)
 
         cost_horizon, tps = self._rollout(sim_state_k, self.u_scale * act_seq, task)
         actions = act_seq  # u_scale divided back out (mppi.py:420)
@@ -518,6 +553,7 @@ class MPPI:
         perturbed = self._gripper_override(perturbed, task)
         if self.sample_null_action:
             perturbed = perturbed.at[self.K - 1].set(0.0)
+        perturbed = self._constrain_samples(perturbed)
 
         cost_horizon, tps = self._rollout(sim_state_k, self.u_scale * perturbed, task)
         cost_total = jnp.sum(cost_horizon, axis=-1)

@@ -71,7 +71,10 @@ class Server:
         """Accept clients forever; one request at a time (the reference's RPC
         is synchronous per control tick)."""
         while True:
-            conn, _ = self._sock.accept()
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return  # listening socket closed -> clean shutdown
             try:
                 self.serve_client(conn)
             except (ConnectionError, OSError):

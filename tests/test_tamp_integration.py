@@ -1,0 +1,98 @@
+"""End-to-end TAMP integration tests on CPU with small sample counts.
+
+These are the automated versions of the reference's manual scenario runs
+(README.md:74-143; SURVEY.md §4): each canonical task must reach its goal
+within a generous step budget.  K is kept small for CI speed — the planner is
+deterministic (halton-spline cached deltas), so these are stable.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m3p2i_aip_tpu.config.config_store import load_config
+from m3p2i_aip_tpu.tamp.sim_loop import SimLoop
+
+
+def _run(overrides, max_steps, warmup=10):
+    cfg = load_config("config_point", overrides)
+    loop = SimLoop(cfg)
+    loop.warmup(warmup)
+    for i in range(max_steps):
+        if loop.tick(i):
+            return loop, i
+    return loop, None
+
+
+@pytest.mark.slow
+def test_navigation_reaches_goal():
+    loop, done = _run(
+        ["task=navigation", "goal=[-3,3]", "mppi.num_samples=128"], 120
+    )
+    assert done is not None, f"nav failed; final pos {loop.log.robot_pos[-1]}"
+
+
+@pytest.mark.slow
+def test_push_reaches_goal():
+    loop, done = _run(["task=push", "goal=[-1,-1]", "mppi.num_samples=128"], 200)
+    assert done is not None, f"push failed; box at {loop.log.box_pos[-1]}"
+
+
+@pytest.mark.slow
+def test_pull_reaches_goal():
+    loop, done = _run(["task=pull", "goal=[0,0]", "mppi.num_samples=128"], 200)
+    assert done is not None, f"pull failed; box at {loop.log.box_pos[-1]}"
+
+
+@pytest.mark.slow
+def test_push_pull_multimodal_corner():
+    loop, done = _run(
+        [
+            "task=push_pull",
+            "multi_modal=True",
+            "goal=[-3.75,-3.75]",
+            "mppi.num_samples=128",
+        ],
+        300,
+    )
+    assert done is not None, f"push_pull failed; box at {loop.log.box_pos[-1]}"
+
+
+@pytest.mark.slow
+def test_panda_pick_place_sequence():
+    """Full AIP-driven reach -> pick (grasp) -> place on the panda env.
+
+    The automated version of the reference's `-cn config_panda` scenario
+    (README.md:119-127): success = cube within 0.04 m of the goal during
+    place (task_planner.py:100-107 semantics).
+    """
+    cfg = load_config("config_panda", ["mppi.num_samples=128"])
+    loop = SimLoop(cfg)
+    loop.warmup(20)
+    attached_ever = False
+    for i in range(900):
+        done = loop.tick(i)
+        attached_ever = attached_ever or float(loop.state.attached) > 0.5
+        if done:
+            break
+    assert attached_ever, "cube was never grasped"
+    assert done, (
+        f"pick-place did not finish; task={loop.tamp.task_planner.task}, "
+        f"cube={loop.state.body_pos[1]}"
+    )
+
+
+def test_box_never_tunnels_through_walls():
+    """Physics sanity: hard shoves can't carry the box past the arena walls."""
+    from m3p2i_aip_tpu.envs import make_env
+
+    cfg = load_config("config_point")
+    env = make_env(cfg)
+    step = jax.jit(env.step)
+    s = env.init_state()
+    u = jnp.asarray([0.0, 3.0])
+    for _ in range(120):
+        s = step(s, u, env.zero_ext())
+    pos = np.asarray(s.dyn_pos)
+    assert np.all(np.abs(pos) < 3.85), f"tunneled: {pos}"
+    assert np.all(np.isfinite(np.asarray(s.q)))

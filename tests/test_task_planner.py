@@ -1,0 +1,118 @@
+"""Task-planner tests: golden AIP action sequences + planner state machines.
+
+The golden sequence comes from the reference's scripted demo
+(``examples/example_aip_panda.py:17-49``): obs 0 -> reach, obs 1 (pref top) ->
+pick, obs 2 -> place, obs 3 with goal pref -> idle_success.
+"""
+import numpy as np
+import pytest
+
+from m3p2i_aip_tpu.planners.task_planner import (
+    adaptive_action_selection,
+    ai_agent,
+    parallel_action_selection,
+    state_action_templates,
+)
+from m3p2i_aip_tpu.planners.task_planner.task_planner import (
+    PLANNER_AIF_PANDA,
+    PLANNER_PATROLLING,
+    PLANNER_SIMPLE,
+    set_task_planner,
+)
+
+
+def _agent():
+    return [ai_agent.AiAgent(state_action_templates.MDPIsCubeAtReal())]
+
+
+def test_aip_golden_sequence():
+    agents = _agent()
+    script = [
+        (0, np.array([[0], [1], [0], [0]]), "reach"),
+        (0, np.array([[0], [1], [0], [0]]), "reach"),
+        (1, np.array([[1], [0], [0], [0]]), "pick"),
+        (1, np.array([[1], [0], [0], [0]]), "pick"),
+        (2, np.array([[1], [0], [0], [0]]), "place"),
+        (3, np.array([[0], [0], [0], [1]]), "idle_success"),
+    ]
+    for obs, pref, expected in script:
+        agents[0].set_preferences(pref)
+        _, action = adaptive_action_selection.adapt_act_sel(agents, [obs])
+        assert action == expected, f"obs={obs}: got {action}, want {expected}"
+
+
+def test_parallel_action_selection_two_agents():
+    agents = [
+        ai_agent.AiAgent(state_action_templates.MDPIsAt()),
+        ai_agent.AiAgent(state_action_templates.MDPIsCloseTo()),
+    ]
+    agents[0].set_preferences(np.array([[1.0], [0.0]]))
+    agents[1].set_preferences(np.array([[1.0], [0.0]]))
+    outcome, plans = parallel_action_selection.par_act_sel(agents, [1, 1])
+    assert outcome in ("running", "success")
+    assert plans, "expected at least one plan"
+    flat = {a for plan in plans for a in (plan if isinstance(plan, list) else [plan])}
+    assert "move_to" in flat or "approach_obj" in flat or "idle_success" in flat
+
+
+class _Cfg:
+    env_type = "point_env"
+    task = "navigation"
+    goal = [1.0, 2.0]
+    pre_height_diff = 0.05
+
+
+def test_planner_simple_success_logic():
+    p = set_task_planner(_Cfg())
+    assert isinstance(p, PLANNER_SIMPLE)
+    view = {"robot_pos": np.array([1.05, 2.0]), "box_pos": np.array([0.0, 0.0])}
+    assert p.check_task_success(view)
+    view["robot_pos"] = np.array([0.0, 0.0])
+    assert not p.check_task_success(view)
+
+    p.task = "push"
+    view["box_pos"] = np.array([1.0, 2.05])
+    assert p.check_task_success(view)
+
+
+def test_planner_aif_panda_progression():
+    cfg = _Cfg()
+    cfg.env_type = "panda_env"
+    p = set_task_planner(cfg)
+    assert isinstance(p, PLANNER_AIF_PANDA)
+
+    cube = np.array([0.2, -0.2, 1.06, 0, 0, 0, 1], dtype=np.float32)
+    goal = np.array([0.5, 0.3, 1.06, 0, 0, 0, 1], dtype=np.float32)
+    ee_far = np.array([0.0, 0.0, 1.6, 0, 0, 0, 1], dtype=np.float32)
+    p.update_plan({"cube_state": cube, "cube_goal": goal, "ee_state": ee_far})
+    assert p.task == "reach"
+
+    ee_close = cube.copy()
+    ee_close[2] += 0.03  # within pre_pick_place_threshold=0.055
+    p.update_plan({"cube_state": cube, "cube_goal": goal, "ee_state": ee_close})
+    assert p.task == "pick"
+    assert p.pick_always
+    # goal switched to pre-place location above cubeB
+    assert np.allclose(p.curr_goal[:2], goal[:2])
+
+    # cube arrives at the pre-place location -> place (hysteresis keeps it)
+    cube_at_goal = goal.copy()
+    p.update_plan(
+        {"cube_state": cube_at_goal, "cube_goal": goal, "ee_state": ee_close}
+    )
+    assert p.task == "place"
+    assert p.place_always
+    assert p.check_task_success(
+        {"cube_state": cube_at_goal, "cube_goal": goal, "ee_state": ee_close}
+    )
+
+
+def test_planner_patrolling_cycles():
+    p = PLANNER_PATROLLING([[0.0, 0.0], [1.0, 1.0]])
+    assert np.allclose(p.curr_goal, [0, 0])
+    p.update_plan({"robot_pos": np.array([0.01, 0.01])})
+    assert np.allclose(p.curr_goal, [1, 1])
+    p.update_plan({"robot_pos": np.array([1.0, 1.0])})
+    assert np.allclose(p.curr_goal, [0, 0])
+    p.reset_plan()
+    assert p.goal_id == 0

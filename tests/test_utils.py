@@ -1,0 +1,71 @@
+"""Serialization, RPC, rendering, and analysis-stat tests."""
+import threading
+
+import numpy as np
+import pytest
+
+from m3p2i_aip_tpu.utils import rpc
+from m3p2i_aip_tpu.utils.data_transfer import (
+    array_to_bytes,
+    bytes_to_array,
+    bytes_to_numpy,
+)
+
+
+def test_array_roundtrip():
+    x = np.random.randn(4, 13).astype(np.float32)
+    assert np.array_equal(bytes_to_numpy(array_to_bytes(x)), x)
+    y = bytes_to_array(array_to_bytes(x))
+    assert np.allclose(np.asarray(y), x)
+
+
+class _Service:
+    def echo(self, a):
+        return a * 2.0
+
+    def get_flag(self):
+        return 7
+
+
+def test_rpc_roundtrip():
+    server = rpc.Server(_Service(), "127.0.0.1", 0)
+    port = server._sock.getsockname()[1]
+
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+
+    client = rpc.Client().connect("127.0.0.1", port)
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    out = client.call("echo", x)
+    assert np.allclose(out, x * 2)
+    assert client.get_flag() == 7
+    client.close()
+    server.close()
+
+
+def test_point_stats_schema():
+    from m3p2i_aip_tpu.analysis import point_costs, summarize
+
+    n = 5
+    data = np.zeros((n, 19))
+    data[:, 5:7] = [[1.0, 1.0]] * n  # block pos
+    data[:, 8:12] = [0, 0, 0, 1]  # block quat = identity
+    data[:, 12:14] = [[1.0, 1.3]] * n  # goal
+    pos, quat = point_costs(data)
+    assert np.allclose(pos, 0.3, atol=1e-6)
+    assert np.allclose(quat, 0.0, atol=1e-5)
+    s = summarize(data, "point")
+    assert abs(s["pos_error"][0] - 0.3) < 1e-6
+
+
+def test_render_ascii():
+    import jax
+
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.envs import make_env
+    from m3p2i_aip_tpu.utils.render import render_point_env
+
+    env = make_env(load_config("config_point"))
+    s = env.init_state()
+    out = render_point_env(env, s)
+    assert "R" in out and "B" in out and "#" in out
