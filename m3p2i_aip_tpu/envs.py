@@ -36,6 +36,8 @@ class Env:
     root_state_view: Callable  # (state) -> [A, 13]
     load_root_state: Callable  # (state, root) -> state
     view: Callable  # (state) -> dict for the host-side task planner
+    view_vec: Callable  # (state) -> packed [V] device array (jit-safe)
+    view_unpack: Callable  # ([V] host array) -> same dict as `view`
     traj_point: Callable  # (state) -> [2|3] point for trajectory viz
     actor_names: tuple = ()
     dyn_obs_slot: int = -1  # index into the dynamic-body array for "dyn-obs"
@@ -48,7 +50,7 @@ def make_env(cfg) -> Env:
     242-267) — minus envs/viewer plumbing, which the functional design removes.
     """
     actors = load_env_cfgs(cfg.env_type)
-    if cfg.env_type == "point_env":
+    if cfg.env_type in ("point_env", "heijn_env", "boxer_env"):
         return _make_point_env(cfg, actors)
     if cfg.env_type == "panda_env":
         return _make_panda_env(cfg, actors)
@@ -67,22 +69,50 @@ def _make_point_env(cfg, actors) -> Env:
         else -1
     )
 
-    def view(state):
-        """Named observations (parity: isaacgym_wrapper getters :120-188)."""
+    dynobs_actor = (
+        params.dyn_actor_idx[dynobs_slot] if dynobs_slot >= 0 else 0
+    )
+
+    def view_vec(state):
+        """Pack the planner observations into ONE small device array.
+
+        One device->host transfer per tick instead of one per named getter —
+        load-bearing when dispatch latency dominates (remote-attached TPU).
+        Layout: [robot_pos(2), robot_vel(2), box_pos(2), box_quat(4),
+        dynobs_contact(1)].
+        """
         from m3p2i_aip_tpu.ops import quat as quat_ops
 
+        cf = jnp.sum(jnp.abs(state.contact_force[dynobs_actor][:2]))
+        return jnp.concatenate(
+            [
+                state.q[:2],
+                state.qd[:2],
+                state.dyn_pos[box_slot],
+                quat_ops.quat_from_yaw(state.dyn_yaw[box_slot])[None][0],
+                cf[None],
+            ]
+        )
+
+    def view_unpack(vec) -> dict:
+        vec = np.asarray(vec)
         return {
-            "robot_pos": np.asarray(state.q),
-            "robot_vel": np.asarray(state.qd),
-            "box_pos": np.asarray(state.dyn_pos[box_slot]),
-            "box_quat": np.asarray(quat_ops.quat_from_yaw(state.dyn_yaw[box_slot])),
+            "robot_pos": vec[0:2],
+            "robot_vel": vec[2:4],
+            "box_pos": vec[4:6],
+            "box_quat": vec[6:10],
+            "dynobs_contact": float(vec[10]),
         }
 
+    def view(state):
+        """Named observations (parity: isaacgym_wrapper getters :120-188)."""
+        return view_unpack(view_vec(state))
+
     return Env(
-        env_type="point_env",
+        env_type="point_env",  # planner-facing family; robot varies via params
         params=params,
-        nu=2,
-        nx=4,
+        nu=point_env.robot_nu(params),
+        nx=2 * point_env.robot_nq(params),
         step=lambda s, u, e: point_env.step(params, s, u, e),
         init_state=lambda: point_env.init_state(params),
         zero_ext=lambda: point_env.zero_ext(params),
@@ -91,7 +121,9 @@ def _make_point_env(cfg, actors) -> Env:
         root_state_view=lambda s: point_env.root_state_view(params, s),
         load_root_state=lambda s, r: point_env.load_root_state(params, s, r),
         view=view,
-        traj_point=lambda s: s.q,
+        view_vec=view_vec,
+        view_unpack=view_unpack,
+        traj_point=lambda s: s.q[:2],
         actor_names=params.actor_names,
         dyn_obs_slot=dynobs_slot,
     )
@@ -100,7 +132,8 @@ def _make_point_env(cfg, actors) -> Env:
 def _make_panda_env(cfg, actors) -> Env:
     params = panda_env.build_params(actors, cfg.sim, cube_on_shelf=cfg.cube_on_shelf)
 
-    def view(state):
+    def view_vec(state):
+        """[cube_state(7), cube_goal(7), ee_state(7)] in one device array."""
         from m3p2i_aip_tpu.ops import quat as quat_ops
 
         links = panda_fk.fk(state.q, params.base_pos)
@@ -108,15 +141,27 @@ def _make_panda_env(cfg, actors) -> Env:
         rf_pos, _ = links["rightfinger"]
         ee_pos = (lf_pos + rf_pos) / 2.0
         ee_quat = quat_ops.mat_to_quat(lf_rot)
+        return jnp.concatenate(
+            [
+                state.body_pos[1],
+                state.body_quat[1],
+                state.body_pos[2],
+                state.body_quat[2],
+                ee_pos,
+                ee_quat,
+            ]
+        )
+
+    def view_unpack(vec) -> dict:
+        vec = np.asarray(vec)
         return {
-            "cube_state": np.concatenate(
-                [np.asarray(state.body_pos[1]), np.asarray(state.body_quat[1])]
-            ),
-            "cube_goal": np.concatenate(
-                [np.asarray(state.body_pos[2]), np.asarray(state.body_quat[2])]
-            ),
-            "ee_state": np.concatenate([np.asarray(ee_pos), np.asarray(ee_quat)]),
+            "cube_state": vec[0:7],
+            "cube_goal": vec[7:14],
+            "ee_state": vec[14:21],
         }
+
+    def view(state):
+        return view_unpack(view_vec(state))
 
     def traj_point(state):
         links = panda_fk.fk(state.q, params.base_pos)
@@ -135,10 +180,23 @@ def _make_panda_env(cfg, actors) -> Env:
         root_state_view=lambda s: panda_env.root_state_view(params, s),
         load_root_state=lambda s, r: panda_env.load_root_state(params, s, r),
         view=view,
+        view_vec=view_vec,
+        view_unpack=view_unpack,
         traj_point=traj_point,
         actor_names=params.actor_names,
         dyn_obs_slot=0,  # _DYN_NAMES order: dyn-obs first
     )
+
+
+def update_dyn_obs_device(env: Env, state, i, period: int = 100):
+    """Traced-version of :func:`update_dyn_obs` (``i`` may be a device int),
+    usable inside a jitted tick / lax.scan."""
+    if env.dyn_obs_slot < 0 or env.env_type != "point_env":
+        return state
+    phase = jnp.mod(i, period)
+    sign = jnp.where((phase > period // 4) & (phase < 3 * period // 4), 1.0, -1.0)
+    off = jnp.asarray([0.01, 0.01]) * sign
+    return state.replace(dyn_pos=state.dyn_pos.at[env.dyn_obs_slot].add(off))
 
 
 def update_dyn_obs(env: Env, state, i: int, period: int = 100):

@@ -31,10 +31,14 @@ GRAVITY = 9.8  # matches sim_params.gravity (isaacgym_wrapper.py:25)
 
 @struct.dataclass
 class PointEnvState:
-    """Per-env simulation state (vmap adds a leading K axis)."""
+    """Per-env simulation state (vmap adds a leading K axis).
 
-    q: jnp.ndarray  # [2] robot dof positions (x, y)
-    qd: jnp.ndarray  # [2] robot dof velocities
+    ``q``/``qd`` are [2] (x, y) for the point robot and [3] (x, y, yaw) for
+    the heijn omni base and the boxer differential-drive base.
+    """
+
+    q: jnp.ndarray  # [nq] robot dof positions
+    qd: jnp.ndarray  # [nq] robot dof velocities
     dyn_pos: jnp.ndarray  # [D, 2]
     dyn_yaw: jnp.ndarray  # [D]
     dyn_vel: jnp.ndarray  # [D, 2]
@@ -75,6 +79,13 @@ class PointEnvParams:
     robot_radius: float = struct.field(pytree_node=False, default=0.2)
     drive_rate: float = struct.field(pytree_node=False, default=60.0)
     robot_friction: float = struct.field(pytree_node=False, default=0.05)
+    # robot family: "point" (2-dof omni, pointRobot.urdf), "heijn" (3-dof
+    # omni, heijn.urdf), "boxer" (2-wheel differential drive, boxer.urdf —
+    # wheel-speed control mapped through the diff-drive kinematics that
+    # skill_utils.apply_fk/apply_ik expose, skill_utils.py:97-137)
+    robot_type: str = struct.field(pytree_node=False, default="point")
+    wheel_radius: float = struct.field(pytree_node=False, default=0.08)
+    wheel_base: float = struct.field(pytree_node=False, default=0.314)
     # integration
     dt: float = struct.field(pytree_node=False, default=0.05)
     substeps: int = struct.field(pytree_node=False, default=2)
@@ -135,6 +146,20 @@ def build_params(actors: List[ActorCfg], sim_cfg: SimConfig) -> PointEnvParams:
     masses = 1000.0 * (2 * half[:, 0]) * (2 * half[:, 1]) * (2 * dyn[:, 6])
     # box inertia about z: m*(w^2+h^2)/12 with w=2*hx etc.
     inertia = masses * ((2 * half[:, 0]) ** 2 + (2 * half[:, 1]) ** 2) / 12.0
+
+    robot_type, robot_radius, robot_mass = "point", 0.2, 10.0
+    wheel_radius, wheel_base = 0.08, 2 * 0.157  # boxer.urdf wheel geometry
+    if robot_cfg is not None:
+        urdf = (robot_cfg.urdf_file or "").lower()
+        if robot_cfg.differential_drive or "boxer" in urdf or "albert" in urdf:
+            robot_type, robot_radius, robot_mass = "boxer", 0.3, 40.0
+            if robot_cfg.wheel_radius:
+                wheel_radius = float(robot_cfg.wheel_radius)
+            if robot_cfg.wheel_base:
+                wheel_base = float(robot_cfg.wheel_base)
+        elif "heijn" in urdf:
+            robot_type, robot_radius, robot_mass = "heijn", 0.35, 30.0
+
     return PointEnvParams(
         stat_pos=jnp.asarray(stat[:, 0:2]),
         stat_yaw=jnp.asarray(stat[:, 2]),
@@ -148,10 +173,13 @@ def build_params(actors: List[ActorCfg], sim_cfg: SimConfig) -> PointEnvParams:
         dyn_friction=jnp.asarray(dyn[:, 5]),
         dyn_z=jnp.asarray(dyn[:, 6]),
         init_dyn_pos=jnp.asarray(dyn[:, 0:2]),
-        robot_mass=10.0,  # pointRobot.urdf link_y mass
-        robot_radius=0.2,  # pointRobot.urdf collision cylinder radius
+        robot_mass=robot_mass,
+        robot_radius=robot_radius,
         drive_rate=sim_cfg.drive_damping / 10.0,
         robot_friction=robot_cfg.friction if robot_cfg else 0.05,
+        robot_type=robot_type,
+        wheel_radius=wheel_radius,
+        wheel_base=wheel_base,
         dt=sim_cfg.dt,
         substeps=sim_cfg.substeps,
         actor_names=tuple(names),
@@ -163,11 +191,21 @@ def build_params(actors: List[ActorCfg], sim_cfg: SimConfig) -> PointEnvParams:
     )
 
 
+def robot_nq(params: PointEnvParams) -> int:
+    return 2 if params.robot_type == "point" else 3
+
+
+def robot_nu(params: PointEnvParams) -> int:
+    """Action dim: point (vx, vy); heijn (vx, vy, vyaw); boxer (vl, vr)."""
+    return {"point": 2, "heijn": 3, "boxer": 2}[params.robot_type]
+
+
 def init_state(params: PointEnvParams) -> PointEnvState:
     D = params.dyn_half.shape[0]
+    nq = robot_nq(params)
     return PointEnvState(
-        q=jnp.zeros(2),
-        qd=jnp.zeros(2),
+        q=jnp.zeros(nq),
+        qd=jnp.zeros(nq),
         dyn_pos=params.init_dyn_pos,
         dyn_yaw=jnp.zeros(D),
         dyn_vel=jnp.zeros((D, 2)),
@@ -220,8 +258,21 @@ def step(
 
     for _ in range(params.substeps):
         # --- velocity integration -------------------------------------------
-        qd = qd + ext.robot * (wm_r * h)
-        qd = u_target + (qd - u_target) * decay  # exact 1st-order vel drive
+        qd = qd.at[:2].add(ext.robot * (wm_r * h))
+        if params.robot_type == "boxer":
+            # differential-drive kinematics: wheel speeds (vl, vr) -> base
+            # twist (the inverse of skill_utils.apply_fk, skill_utils.py:97-115)
+            v = params.wheel_radius * (u_target[0] + u_target[1]) / 2.0
+            om = (
+                params.wheel_radius
+                * (u_target[1] - u_target[0])
+                / params.wheel_base
+            )
+            th = q[2]
+            qd_target = jnp.stack([v * jnp.cos(th), v * jnp.sin(th), om])
+        else:
+            qd_target = u_target  # world-frame dof velocities (point/heijn)
+        qd = qd_target + (qd - qd_target) * decay  # exact 1st-order vel drive
         dvel = dvel + ext.dyn * (params.dyn_inv_mass[:, None] * h)
         dvel, dom = pbd2d.ground_friction(
             dvel, dom, params.dyn_mu_ground, GRAVITY, h,
@@ -238,20 +289,20 @@ def step(
         for _ in range(params.pos_iters):
             # pass 1: robot circle vs dynamic boxes [D]
             c = pbd2d.circle_vs_obb(
-                jnp.broadcast_to(q, (D, 2)), params.robot_radius,
+                jnp.broadcast_to(q[:2], (D, 2)), params.robot_radius,
                 dpos, dyaw, params.dyn_half,
             )
             out = pbd2d.resolve_contact(
                 c,
-                jnp.broadcast_to(q, (D, 2)), jnp.zeros(D),
-                jnp.broadcast_to(qd, (D, 2)), jnp.zeros(D), wm_r, 0.0,
+                jnp.broadcast_to(q[:2], (D, 2)), jnp.zeros(D),
+                jnp.broadcast_to(qd[:2], (D, 2)), jnp.zeros(D), wm_r, 0.0,
                 dpos, dyaw, dvel, dom,
                 params.dyn_inv_mass, params.dyn_inv_inertia,
                 h, friction=(params.robot_friction + params.dyn_friction) / 2,
                 relax=1.0,
             )
-            q = q + out[0].sum(0)
-            qd = qd + out[2].sum(0)
+            q = q.at[:2].add(out[0].sum(0))
+            qd = qd.at[:2].add(out[2].sum(0))
             dpos = dpos + out[4]
             dyaw = dyaw + out[5]
             dvel = dvel + out[6]
@@ -332,20 +383,20 @@ def step(
 
             # pass 4: robot circle vs static boxes [S] — full strength, last
             c = pbd2d.circle_vs_obb(
-                jnp.broadcast_to(q, (S, 2)), params.robot_radius,
+                jnp.broadcast_to(q[:2], (S, 2)), params.robot_radius,
                 params.stat_pos, params.stat_yaw, params.stat_half,
             )
             out = pbd2d.resolve_contact(
                 c,
-                jnp.broadcast_to(q, (S, 2)), jnp.zeros(S),
-                jnp.broadcast_to(qd, (S, 2)), jnp.zeros(S), wm_r, 0.0,
+                jnp.broadcast_to(q[:2], (S, 2)), jnp.zeros(S),
+                jnp.broadcast_to(qd[:2], (S, 2)), jnp.zeros(S), wm_r, 0.0,
                 params.stat_pos, params.stat_yaw, jnp.zeros((S, 2)), jnp.zeros(S),
                 0.0, 0.0,
                 h, friction=(params.robot_friction + params.stat_friction) / 2,
                 relax=1.0,
             )
-            q = q + out[0].sum(0)
-            qd = qd + out[2].sum(0)
+            q = q.at[:2].add(out[0].sum(0))
+            qd = qd.at[:2].add(out[2].sum(0))
             f_r = pad3(out[8])
             force_accum = force_accum.at[params.robot_actor_idx].add(f_r.sum(0))
             force_accum = force_accum.at[stat_actor].add(-f_r)
@@ -357,18 +408,18 @@ def step(
             # a thin wall's midplane (the PBD equivalent of PhysX resolving
             # the contact chain within one solver iteration set).
             c = pbd2d.circle_vs_obb(
-                jnp.broadcast_to(q, (D, 2)), params.robot_radius,
+                jnp.broadcast_to(q[:2], (D, 2)), params.robot_radius,
                 dpos, dyaw, params.dyn_half,
             )
             out = pbd2d.resolve_contact(
                 c,
-                jnp.broadcast_to(q, (D, 2)), jnp.zeros(D),
-                jnp.broadcast_to(qd, (D, 2)), jnp.zeros(D), wm_r, 0.0,
+                jnp.broadcast_to(q[:2], (D, 2)), jnp.zeros(D),
+                jnp.broadcast_to(qd[:2], (D, 2)), jnp.zeros(D), wm_r, 0.0,
                 dpos, dyaw, dvel, dom, 0.0, 0.0,
                 h, friction=0.0, relax=1.0,
             )
-            q = q + out[0].sum(0)
-            qd = qd + out[2].sum(0)
+            q = q.at[:2].add(out[0].sum(0))
+            qd = qd.at[:2].add(out[2].sum(0))
 
     n_norm = params.substeps * params.pos_iters
     return state.replace(
@@ -423,15 +474,15 @@ def load_root_state(
 
 
 def dof_state_view(state: PointEnvState) -> jnp.ndarray:
-    """Interleaved Isaac dof_state [x, vx, y, vy] (isaacgym_wrapper.py:98-100)."""
-    return jnp.stack(
-        [state.q[..., 0], state.qd[..., 0], state.q[..., 1], state.qd[..., 1]],
-        axis=-1,
+    """Interleaved Isaac dof_state [x, vx, y, vy(, yaw, vyaw)]
+    (isaacgym_wrapper.py:98-100).  3-dof bases append their yaw pair."""
+    nq = state.q.shape[-1]
+    return jnp.stack([state.q, state.qd], axis=-1).reshape(
+        state.q.shape[:-1] + (2 * nq,)
     )
 
 
 def load_dof_state(state: PointEnvState, dof: jnp.ndarray) -> PointEnvState:
-    return state.replace(
-        q=jnp.stack([dof[..., 0], dof[..., 2]], axis=-1),
-        qd=jnp.stack([dof[..., 1], dof[..., 3]], axis=-1),
-    )
+    nq = state.q.shape[-1]
+    pairs = dof.reshape(dof.shape[:-1] + (nq, 2))
+    return state.replace(q=pairs[..., 0], qd=pairs[..., 1])

@@ -59,7 +59,7 @@ class PointObjective:
     def _dist_terms(self, state, goal):
         """Parity: Objective.calculate_dist (cost_functions.py:41-50)."""
         block_pos = self._box_pos(state)
-        robot_to_block = state.q - block_pos
+        robot_to_block = state.q[:2] - block_pos
         block_to_goal = goal - block_pos
         d_rb = jnp.linalg.norm(robot_to_block)
         d_bg = jnp.linalg.norm(block_to_goal)
@@ -76,7 +76,7 @@ class PointObjective:
         return jnp.where(coll > 0.1, 1000.0, 0.0)
 
     def _navigation(self, state, goal):
-        return jnp.linalg.norm(state.q - goal) + self._motion_cost(state)
+        return jnp.linalg.norm(state.q[:2] - goal) + self._motion_cost(state)
 
     def _push(self, state, goal):
         dist_cost, cos_theta, _, _ = self._dist_terms(state, goal)
@@ -85,11 +85,11 @@ class PointObjective:
 
     def _pull(self, state, goal, mode):
         dist_cost, cos_theta, block_pos, d_rb = self._dist_terms(state, goal)
-        pos_dir = block_pos - state.q
-        towards_block = jnp.sum(state.qd * pos_dir) > 0.0
+        pos_dir = block_pos - state.q[:2]
+        towards_block = jnp.sum(state.qd[:2] * pos_dir) > 0.0
 
         f_box, f_robot = calculate_suction(
-            block_pos, state.q, self.kp_suction, self.suction_threshold
+            block_pos, state.q[:2], self.kp_suction, self.suction_threshold
         )
         # no suction when moving toward the block (cost_functions.py:72-73)
         off = towards_block

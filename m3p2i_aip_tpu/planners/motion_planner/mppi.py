@@ -295,8 +295,10 @@ class MPPI:
             best_traj_1=z,
             best_traj_2=z,
             U=U0.astype(jnp.float32),
-            beta=jnp.asarray(1.0),
-            weights=jnp.full((self.K,), 1.0 / self.K),
+            # strong-typed scalar: a weak-typed init would change the jit
+            # signature after the first update and force a full recompile
+            beta=jnp.ones((), dtype=jnp.float32),
+            weights=jnp.full((self.K,), 1.0 / self.K, dtype=jnp.float32),
             rng=rng,
         )
 

@@ -26,7 +26,7 @@ from m3p2i_aip_tpu.ops import general_ori_cube2goal
 
 def set_task_planner(cfg):
     """Dispatch on env type. Parity: task_planner.set_task_planner:7-11."""
-    if cfg.env_type == "point_env":
+    if cfg.env_type in ("point_env", "heijn_env", "boxer_env"):
         return PLANNER_SIMPLE(cfg)
     return PLANNER_AIF_PANDA(cfg)
 

@@ -19,11 +19,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from m3p2i_aip_tpu.envs import Env, make_env
+from functools import partial
+
+from m3p2i_aip_tpu.envs import Env, make_env, update_dyn_obs_device
 from m3p2i_aip_tpu.planners.motion_planner import cost_functions
 from m3p2i_aip_tpu.planners.motion_planner.m3p2i import M3P2I
 from m3p2i_aip_tpu.planners.motion_planner.mppi import make_task_params
 from m3p2i_aip_tpu.planners.task_planner.task_planner import set_task_planner
+from m3p2i_aip_tpu.utils import skill_utils
 
 
 class ReactiveTAMP:
@@ -31,7 +34,7 @@ class ReactiveTAMP:
         self.cfg = cfg
         self.env = env if env is not None else make_env(cfg)
 
-        if cfg.env_type == "point_env":
+        if self.env.env_type == "point_env":  # incl. heijn/boxer robot variants
             self.objective = cost_functions.PointObjective(self.env.params, cfg)
         else:
             self.objective = cost_functions.PandaObjective(self.env.params, cfg)
@@ -50,6 +53,8 @@ class ReactiveTAMP:
         self.suction_active = int(cfg.suction_active)
         self.top_trajs = None
         self._zero_action = jnp.zeros(self.env.nu)
+        self._tick_fused = jax.jit(self._tick_fused_impl)
+        self._run_chunk = jax.jit(self._run_chunk_impl, static_argnums=(4,))
 
     # ------------------------------------------------------------------ api
     def run_tamp(self, real_state) -> jnp.ndarray:
@@ -87,15 +92,119 @@ class ReactiveTAMP:
 
         Parity: REACTIVE_TAMP.tamp_interface (reactive_tamp.py:75-81).
         """
-        view = self.env.view(real_state)
+        return self.tamp_interface_view(self.env.view(real_state))
+
+    def tamp_interface_view(self, view: dict):
+        """:meth:`tamp_interface` on an already-pulled observation dict —
+        zero device round-trips (the fused tick returns next tick's view)."""
         self.task_planner.update_plan(view)
         gripper = self.motion_planner.update_gripper_command(self.task_planner.task)
         self.suction_active = self.motion_planner.get_pull_preference(self.mppi_state)
         self.task_success = self.task_planner.check_task_success(view)
         grip = gripper if self.env.env_type == "panda_env" else "none"
-        return make_task_params(
-            self.task_planner.task, self.task_planner.curr_goal, grip
+        # cache the device TaskParams: the symbolic plan changes at ~1 Hz,
+        # so skip the host->device puts on unchanged ticks
+        key = (self.task_planner.task, tuple(np.ravel(self.task_planner.curr_goal)), grip)
+        if getattr(self, "_tp_key", None) != key:
+            self._tp_key = key
+            self._tp_cached = make_task_params(
+                self.task_planner.task, self.task_planner.curr_goal, grip
+            )
+        return self._tp_cached
+
+    # ------------------------------------------------------- fused device tick
+    def _suction_ext_device(self, mppi_state, real_state, task, action):
+        """On-device real-env suction (point env only).
+
+        Parity: check_and_apply_suction + check_suction_condition
+        (skill_utils.py:36-56) + the real-env branch of calculate_suction
+        (threshold 1.5, :77-82); the pull-vs-push arbitration uses the
+        incoming weights (m3p2i.py:16-22) exactly like the reference's
+        get_suction RPC, which reports the pre-command preference.
+        """
+        ext = self.env.zero_ext()
+        if self.env.env_type != "point_env" or not (
+            bool(self.cfg.suction_active) or self.multi_modal_suction
+        ):
+            return ext
+        names = list(self.env.params.actor_names)
+        if "box" not in names:
+            return ext
+        box_slot = self.env.params.dyn_actor_idx.index(names.index("box"))
+        box_pos = real_state.dyn_pos[box_slot]
+
+        if self.multi_modal_suction:
+            w = mppi_state.weights
+            suction_on = jnp.sum(w[self.motion_planner.half_K :]) > jnp.sum(
+                w[: self.motion_planner.half_K]
+            )
+        else:
+            suction_on = jnp.asarray(bool(self.cfg.suction_active))
+        task_ok = (task.task_id == 2) | (task.task_id == 3)
+        dir_rb = real_state.q - box_pos
+        align_ok = jnp.sum(action[:2] * dir_rb) > 0
+        dist_ok = jnp.linalg.norm(dir_rb) < 0.6
+        on = suction_on & task_ok & align_ok & dist_ok
+
+        f_box, f_robot = skill_utils.calculate_suction(
+            box_pos, real_state.q, float(self.cfg.kp_suction), threshold=1.5
         )
+        zero2 = jnp.zeros(2)
+        return ext.replace(
+            robot=jnp.where(on, f_robot, zero2),
+            dyn=ext.dyn.at[box_slot].set(jnp.where(on, f_box, zero2)),
+        )
+
+    @property
+    def multi_modal_suction(self) -> bool:
+        return bool(self.cfg.multi_modal) and self.env.env_type == "point_env"
+
+    def _tick_fused_impl(self, mppi_state, real_state, task, i):
+        """One full control tick in a single XLA program: dyn-obs oscillation,
+        K-rollout replan, real-env suction, real-env step, packed observation.
+
+        This is the SURVEY.md §7 "one device-resident loop": on a
+        remote-attached TPU each dispatch costs tens of ms, so the reference's
+        per-tick call pattern (state sync + command + suction query + step +
+        named getters, reactive_tamp.py:43-61 / sim.py:37-58) collapses into
+        ONE dispatch and ONE small device->host transfer.
+        """
+        real_state = update_dyn_obs_device(self.env, real_state, i)
+        action_seq, mppi_state, aux = self.motion_planner._command_impl(
+            mppi_state, real_state, task
+        )
+        action = action_seq[0]
+        ext = self._suction_ext_device(mppi_state, real_state, task, action)
+        real_state = self.env.step(real_state, action, ext)
+        return action, mppi_state, real_state, self.env.view_vec(real_state)
+
+    def tick_fused(self, mppi_state, real_state, task, i):
+        return self._tick_fused(mppi_state, real_state, task, jnp.asarray(i))
+
+    def _run_chunk_impl(self, mppi_state, real_state, task, i0, length: int):
+        """``length`` fused ticks under one lax.scan — one dispatch per chunk.
+
+        Valid while the symbolic plan is constant across the chunk (always
+        true for PLANNER_SIMPLE's fixed task, SURVEY.md §1 L4a); the host
+        checks the per-tick packed views afterwards.
+        """
+
+        def body(carry, k):
+            ms, rs = carry
+            rs = update_dyn_obs_device(self.env, rs, i0 + k)
+            action_seq, ms, aux = self.motion_planner._command_impl(ms, rs, task)
+            action = action_seq[0]
+            ext = self._suction_ext_device(ms, rs, task, action)
+            rs = self.env.step(rs, action, ext)
+            return (ms, rs), self.env.view_vec(rs)
+
+        (mppi_state, real_state), views = jax.lax.scan(
+            body, (mppi_state, real_state), jnp.arange(length)
+        )
+        return mppi_state, real_state, views
+
+    def run_chunk(self, mppi_state, real_state, task, i0: int, length: int):
+        return self._run_chunk(mppi_state, real_state, task, jnp.asarray(i0), length)
 
     # -------------------------------------------------------------- queries
     def get_trajs(self):

@@ -72,6 +72,7 @@ class SimLoop:
         self._step = jax.jit(self.env.step)
         self.state = self.env.init_state()
         self.log = TickLog()
+        self._view: Optional[dict] = None  # host copy of the current obs
 
     def warmup(self, n: int = 150) -> None:
         """Settle the scene before planning (sim.py:32-33)."""
@@ -80,48 +81,45 @@ class SimLoop:
         for _ in range(n):
             self.state = self._step(self.state, zero_u, ext)
         jax.block_until_ready(self.state)
+        self._view = self.env.view(self.state)
 
-    def tick(self, i: int) -> bool:
-        """One control tick. Returns True once the task is reported done.
-
-        Parity: the sim.py main-loop body (:37-58) minus viewer/keyboard.
-        """
-        self.state = update_dyn_obs(self.env, self.state, i)
-
-        t0 = time.perf_counter()
-        action = self.tamp.run_tamp(self.state)
-        action = jax.block_until_ready(action)
-        t1 = time.perf_counter()
-
-        self.cfg.suction_active = bool(self.tamp.get_suction())
-        ext = real_suction_ext(self.cfg, self.env, self.state, action)
-        self.state = jax.block_until_ready(self._step(self.state, action, ext))
-        t2 = time.perf_counter()
-
+    def _record(self, i: int, view: dict, replan_s: float, sim_s: float) -> bool:
         self.log.steps += 1
-        self.log.replan_s.append(t1 - t0)
-        self.log.sim_s.append(t2 - t1)
+        self.log.replan_s.append(replan_s)
+        self.log.sim_s.append(sim_s)
         self.log.task.append(self.tamp.task_planner.task)
         if self.env.env_type == "point_env":
-            v = self.env.view(self.state)
-            self.log.robot_pos.append(v["robot_pos"])
-            self.log.robot_vel.append(v["robot_vel"])
-            self.log.box_pos.append(v["box_pos"])
-            if (
-                self.env.dyn_obs_slot >= 0
-                and float(
-                    jnp.abs(
-                        self.state.contact_force[
-                            self.env.params.dyn_actor_idx[self.env.dyn_obs_slot]
-                        ][:2]
-                    ).sum()
-                )
-                > 0.1
-            ):
+            self.log.robot_pos.append(view["robot_pos"])
+            self.log.robot_vel.append(view["robot_vel"])
+            self.log.box_pos.append(view["box_pos"])
+            if view.get("dynobs_contact", 0.0) > 0.1:
                 self.log.collisions += 1
         if self.tamp.task_success and self.log.success_step is None:
             self.log.success_step = i
         return bool(self.tamp.task_success)
+
+    def tick(self, i: int) -> bool:
+        """One control tick = ONE device dispatch + ONE small transfer.
+
+        Parity: the sim.py main-loop body (:37-58) minus viewer/keyboard —
+        dyn-obs motion, replanning, suction and the real-env step all run
+        inside the fused jitted tick (see ReactiveTAMP._tick_fused_impl).
+        The host only runs the symbolic task planner on the previous tick's
+        packed observation.
+        """
+        if self._view is None:
+            self._view = self.env.view(self.state)
+        t0 = time.perf_counter()
+        task_params = self.tamp.tamp_interface_view(self._view)
+        if self.tamp.task_success:
+            return self._record(i, self._view, 0.0, 0.0)
+        action, self.tamp.mppi_state, self.state, vvec = self.tamp.tick_fused(
+            self.tamp.mppi_state, self.state, task_params, i
+        )
+        vvec = jax.block_until_ready(vvec)
+        t1 = time.perf_counter()
+        self._view = self.env.view_unpack(vvec)
+        return self._record(i, self._view, t1 - t0, 0.0)
 
     def run(self, n_steps: int = 1000, realtime: bool = False, verbose: bool = False):
         """Run until success or ``n_steps``. Parity: sim.py:36-58."""
@@ -132,6 +130,44 @@ class SimLoop:
                 t = skill_utils.time_tracking(t, self.cfg.sim.dt, verbose=verbose)
             if done:
                 break
+        return self.log
+
+    def run_chunked(self, n_steps: int, chunk: int = 10) -> TickLog:
+        """Chunked execution: ``chunk`` full replan+step ticks per dispatch.
+
+        Amortizes dispatch latency via lax.scan (ReactiveTAMP.run_chunk).
+        Exact for fixed-plan tasks (point env PLANNER_SIMPLE); the symbolic
+        plan is refreshed between chunks, so a task switch is delayed by at
+        most ``chunk - 1`` ticks.
+        """
+        if self._view is None:
+            self.warmup(0)
+        i = 0
+        while i < n_steps:
+            t0 = time.perf_counter()
+            task_params = self.tamp.tamp_interface_view(self._view)
+            if self.tamp.task_success:
+                self._record(i, self._view, 0.0, 0.0)
+                break
+            ms, rs, views = self.tamp.run_chunk(
+                self.tamp.mppi_state, self.state, task_params, i, chunk
+            )
+            views = np.asarray(jax.block_until_ready(views))
+            t1 = time.perf_counter()
+            self.tamp.mppi_state, self.state = ms, rs
+            per = (t1 - t0) / chunk
+            done_at = None
+            for k in range(chunk):
+                self._view = self.env.view_unpack(views[k])
+                self.tamp.task_success = self.tamp.task_planner.check_task_success(
+                    self._view
+                )
+                self._record(i + k, self._view, per, 0.0)
+                if self.tamp.task_success and done_at is None:
+                    done_at = i + k
+            if done_at is not None:
+                break
+            i += chunk
         return self.log
 
 

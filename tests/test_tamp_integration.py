@@ -59,6 +59,34 @@ def test_push_pull_multimodal_corner():
 
 
 @pytest.mark.slow
+def test_heijn_navigation():
+    """3-dof omni base (heijn.urdf robot family) reaches the nav goal."""
+    cfg = load_config("config_heijn", ["goal=[-3,3]", "mppi.num_samples=128"])
+    loop = SimLoop(cfg)
+    loop.warmup(10)
+    done = None
+    for i in range(150):
+        if loop.tick(i):
+            done = i
+            break
+    assert done is not None, f"heijn nav failed at {loop.log.robot_pos[-1]}"
+
+
+@pytest.mark.slow
+def test_boxer_navigation():
+    """Differential-drive base (boxer.urdf family, wheel-speed control)."""
+    cfg = load_config("config_boxer", ["goal=[-3,3]", "mppi.num_samples=128"])
+    loop = SimLoop(cfg)
+    loop.warmup(10)
+    done = None
+    for i in range(600):
+        if loop.tick(i):
+            done = i
+            break
+    assert done is not None, f"boxer nav failed at {loop.log.robot_pos[-1]}"
+
+
+@pytest.mark.slow
 def test_panda_pick_place_sequence():
     """Full AIP-driven reach -> pick (grasp) -> place on the panda env.
 
