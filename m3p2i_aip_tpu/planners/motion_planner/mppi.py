@@ -72,6 +72,7 @@ class MPPIConfig:
     filter_u: bool = False
     use_priors: bool = False
     fine_noise_scale: float = 0.05  # scale of the fine-sampling quartile (extension)
+    use_pallas: bool = True  # fused TPU kernels where available (extension)
     seed_val: int = 0
     eta_u_bound: int = 10
     eta_l_bound: int = 5
@@ -230,6 +231,9 @@ class MPPI:
         self.traj_point = traj_point
         self.state_vector = state_vector
 
+        from m3p2i_aip_tpu.ops.pallas_kernels import pallas_available
+
+        self.use_pallas = pallas_available() and getattr(mcfg, "use_pallas", True)
         self.mesh = None  # optional device mesh; see parallel/mesh.py
         self._command = jax.jit(self._command_impl)
 
@@ -390,7 +394,17 @@ class MPPI:
         Parity: M3P2I._multi_modal_exp_util (m3p2i.py:46-64).  Note the
         reference passes self.beta_* but never persists the tuned values —
         each call starts from beta=1; replicated here.
+
+        On TPU this dispatches to the fused Pallas kernel
+        (ops/pallas_kernels.py): cost-to-go + all three masked adaptive-beta
+        softmaxes in one VMEM-resident pass.
         """
+        if self.use_pallas and self.mesh is None:  # single-chip fast path
+            from m3p2i_aip_tpu.ops.pallas_kernels import multimodal_weights_pallas
+
+            return multimodal_weights_pallas(
+                cost_horizon, self.gamma_seq, self.half_K, 10.0, 3.0
+            )
         traj_costs = discounted_traj_cost(cost_horizon, self.gamma_seq)
         m0 = self.sample_mode == 0
         inf = jnp.asarray(jnp.inf)
