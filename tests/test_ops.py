@@ -214,3 +214,34 @@ def test_ensure_non_zero():
     np.testing.assert_allclose(
         out, np.exp(-2.0 * (np.array([1.0, 2.0]) - 1.0)), rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------- albert
+def test_albert_diff_drive_and_fk():
+    import jax
+    import jax.numpy as jnp
+
+    from m3p2i_aip_tpu.models import albert
+
+    params = albert.AlbertParams()
+    s = albert.init_state()
+    step = jax.jit(lambda s, u: albert.step(params, s, u))
+
+    # equal wheel speeds -> straight line along +x, no rotation
+    u = jnp.zeros(13).at[11].set(5.0).at[12].set(5.0)
+    for _ in range(40):
+        s = step(s, u)
+    assert float(s.q[0]) > 0.5 and abs(float(s.q[2])) < 1e-4
+
+    # opposite wheel speeds -> pure rotation
+    s2 = albert.init_state()
+    u = jnp.zeros(13).at[11].set(-5.0).at[12].set(5.0)
+    for _ in range(40):
+        s2 = step(s2, u)
+    assert abs(float(s2.q[2])) > 0.5 and abs(float(s2.q[0])) < 0.05
+
+    links = albert.fk(s)
+    ee_pos, ee_rot = links["ee"]
+    assert np.isfinite(np.asarray(ee_pos)).all()
+    # the arm rides the base: ee x should have advanced with it
+    assert float(ee_pos[0]) > 0.3
