@@ -57,8 +57,16 @@ def make_env(cfg) -> Env:
     raise ValueError(f"unknown env_type {cfg.env_type!r}")
 
 
+def _domain_rng(cfg, actors):
+    """Seeded RNG when any actor requests friction/size randomization."""
+    wants = any(
+        a.noise_percentage_friction or a.noise_sigma_size for a in actors
+    )
+    return np.random.default_rng(cfg.mppi.seed_val) if wants else None
+
+
 def _make_point_env(cfg, actors) -> Env:
-    params = point_env.build_params(actors, cfg.sim)
+    params = point_env.build_params(actors, cfg.sim, rng=_domain_rng(cfg, actors))
     names = list(params.actor_names)
     box_slot = (
         params.dyn_actor_idx.index(names.index("box")) if "box" in names else 0

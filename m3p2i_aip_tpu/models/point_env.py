@@ -100,15 +100,39 @@ class PointEnvParams:
     init_root: jnp.ndarray = struct.field(default=None)  # [A, 13]
 
 
-def build_params(actors: List[ActorCfg], sim_cfg: SimConfig) -> PointEnvParams:
+def build_params(
+    actors: List[ActorCfg],
+    sim_cfg: SimConfig,
+    rng: "np.random.Generator | None" = None,
+) -> PointEnvParams:
     """Pack the per-actor YAML configs (actor_utils.py:16-46 schema) into
     device arrays.  Ground-friction combine follows PhysX's default *average*
-    of the two materials (plane friction 1.0, isaacgym_wrapper.py:466-467)."""
+    of the two materials (plane friction 1.0, isaacgym_wrapper.py:466-467).
+
+    Domain randomization parity: when ``rng`` is given, per-actor friction is
+    perturbed by uniform(+-noise_percentage_friction * friction)
+    (isaacgym_wrapper.py:311-326) and box sizes by normal(0, noise_sigma_size)
+    (actor_utils.py:64-69)."""
     stat, dyn, dyn_idx, stat_idx = [], [], [], []
     robot_idx, robot_cfg = 0, None
     init_root = np.zeros((len(actors), 13), dtype=np.float32)
     init_root[:, 6] = 1.0  # identity quat w
     names = []
+
+    def rand_friction(a: ActorCfg) -> float:
+        if rng is None or not a.noise_percentage_friction:
+            return a.friction
+        lim = a.noise_percentage_friction * a.friction
+        return a.friction + float(rng.uniform(-lim, lim))
+
+    def rand_size(a: ActorCfg) -> np.ndarray:
+        size = np.asarray(a.size, dtype=np.float32)
+        if rng is None or not a.noise_sigma_size:
+            return size
+        return size + rng.normal(0.0, np.asarray(a.noise_sigma_size)).astype(
+            np.float32
+        )
+
     for i, a in enumerate(actors):
         names.append(a.name)
         init_root[i, 0:3] = a.init_pos
@@ -117,9 +141,11 @@ def build_params(actors: List[ActorCfg], sim_cfg: SimConfig) -> PointEnvParams:
             robot_idx, robot_cfg = i, a
         elif a.type == "box" and a.collision:
             yaw = float(quat.yaw_from_quat(jnp.asarray(a.init_ori)))
+            friction = rand_friction(a)
+            size = rand_size(a)
             if a.fixed:
                 stat.append(
-                    (a.init_pos[0], a.init_pos[1], yaw, a.size[0] / 2, a.size[1] / 2, a.friction)
+                    (a.init_pos[0], a.init_pos[1], yaw, size[0] / 2, size[1] / 2, friction)
                 )
                 stat_idx.append(i)
             else:
@@ -127,11 +153,11 @@ def build_params(actors: List[ActorCfg], sim_cfg: SimConfig) -> PointEnvParams:
                     (
                         a.init_pos[0],
                         a.init_pos[1],
-                        a.size[0] / 2,
-                        a.size[1] / 2,
+                        size[0] / 2,
+                        size[1] / 2,
                         a.mass,
-                        a.friction,
-                        a.size[2] / 2,
+                        friction,
+                        size[2] / 2,
                     )
                 )
                 dyn_idx.append(i)

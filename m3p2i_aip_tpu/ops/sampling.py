@@ -94,9 +94,16 @@ def halton_samples(
         bases = _primes(ndims)
     else:
         bases = np.asarray(bases)
+    perms = _scramble_perms(bases, seed_val) if scramble else [None] * ndims
+
+    from m3p2i_aip_tpu.native import native_halton  # C++ core (ghalton parity)
+
+    native = native_halton(num_samples, bases, perms)
+    if native is not None:
+        return native
+
     idx = np.arange(1, num_samples + 1, dtype=np.int64)
     out = np.empty((num_samples, ndims), dtype=np.float64)
-    perms = _scramble_perms(bases, seed_val) if scramble else [None] * ndims
     for d in range(ndims):
         out[:, d] = van_der_corput(idx, int(bases[d]), perms[d])
     return out

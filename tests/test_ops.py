@@ -245,3 +245,26 @@ def test_albert_diff_drive_and_fk():
     assert np.isfinite(np.asarray(ee_pos)).all()
     # the arm rides the base: ee x should have advanced with it
     assert float(ee_pos[0]) > 0.3
+
+
+# ---------------------------------------------------------------- native core
+def test_native_halton_matches_numpy():
+    """The C++ sampler (ghalton replacement) must be bit-identical to the
+    pure-numpy radical-inverse implementation."""
+    from m3p2i_aip_tpu.native import native_halton
+    from m3p2i_aip_tpu.ops.sampling import _primes, _scramble_perms, van_der_corput
+
+    bases = _primes(9)
+    idx = np.arange(1, 65, dtype=np.int64)
+    for scramble in (False, True):
+        perms = _scramble_perms(bases, 123) if scramble else [None] * 9
+        native = native_halton(64, bases, perms)
+        if native is None:
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+        ref = np.stack(
+            [van_der_corput(idx, int(bases[d]), perms[d]) for d in range(9)],
+            axis=1,
+        )
+        assert np.array_equal(native, ref), f"scramble={scramble}"

@@ -124,3 +124,31 @@ def test_box_never_tunnels_through_walls():
     pos = np.asarray(s.dyn_pos)
     assert np.all(np.abs(pos) < 3.85), f"tunneled: {pos}"
     assert np.all(np.isfinite(np.asarray(s.q)))
+
+
+def test_domain_randomization_friction_and_size():
+    """Friction/size noise parity (isaacgym_wrapper.py:311-326,
+    actor_utils.py:64-69): seeded noise perturbs the built params."""
+    import numpy as np
+
+    from m3p2i_aip_tpu.models import point_env
+    from m3p2i_aip_tpu.sim.sim_config import load_env_cfgs
+
+    cfg = load_config("config_point")
+    actors = load_env_cfgs("point_env")
+    for a in actors:
+        if a.name == "box":
+            a.noise_percentage_friction = 0.3
+            a.noise_sigma_size = [0.005, 0.005, 0.0]
+    base = point_env.build_params(actors, cfg.sim, rng=None)
+    noised = point_env.build_params(
+        actors, cfg.sim, rng=np.random.default_rng(0)
+    )
+    names = list(base.actor_names)
+    slot = base.dyn_actor_idx.index(names.index("box"))
+    assert float(base.dyn_friction[slot]) != float(noised.dyn_friction[slot])
+    assert not np.allclose(
+        np.asarray(base.dyn_half[slot]), np.asarray(noised.dyn_half[slot])
+    )
+    # noise must stay within the configured envelope
+    assert abs(float(noised.dyn_friction[slot]) - 0.5) <= 0.3 * 0.5 + 1e-6

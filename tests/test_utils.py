@@ -69,3 +69,40 @@ def test_render_ascii():
     s = env.init_state()
     out = render_point_env(env, s)
     assert "R" in out and "B" in out and "#" in out
+
+
+def test_two_terminal_tamp_roundtrip():
+    """The reference's two-process workflow over the TCP compat layer:
+    planner server (ReactiveTAMPServer) + sim client exchanging dof/root
+    tensors per tick (reactive_tamp.py:92-94 / sim.py:29-49 surface)."""
+    import jax
+    import jax.numpy as jnp
+
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.envs import make_env
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMPServer
+
+    cfg = load_config(
+        "config_point", ["task=navigation", "goal=[-3,3]", "mppi.num_samples=32"]
+    )
+    server = rpc.Server(ReactiveTAMPServer(cfg), "127.0.0.1", 0)
+    port = server._sock.getsockname()[1]
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+
+    env = make_env(cfg)
+    step = jax.jit(env.step)
+    state = env.init_state()
+    client = rpc.Client().connect("127.0.0.1", port)
+    for i in range(3):
+        action = client.run_tamp(
+            np.asarray(env.dof_state_view(state)),
+            np.asarray(env.root_state_view(state)),
+        )
+        assert action.shape == (env.nu,) and np.isfinite(action).all()
+        assert isinstance(client.get_suction(), int)
+        state = step(state, jnp.asarray(action), env.zero_ext())
+    trajs = client.get_trajs()
+    assert trajs.ndim == 3  # [20, T, 2]
+    client.close()
+    server.close()
