@@ -24,11 +24,20 @@ from typing import List, Optional
 import numpy as np
 
 
-def finalize_point_row(log, view: dict, goal, start_time: float) -> np.ndarray:
-    """Build one 19-col point row from a finished SimLoop TickLog."""
-    n = max(1, len(log.sim_s))
-    avg_sim = 1.0 / max(float(np.mean(log.sim_s)), 1e-9)
-    avg_mot = 1.0 / max(float(np.mean(log.replan_s)), 1e-9)
+def finalize_point_row(
+    log, view: dict, goal, start_time: float, dt: float = 0.05
+) -> np.ndarray:
+    """Build one 19-col point row from a finished SimLoop TickLog.
+
+    ``task_time`` (col 18) is SIM time to success (ticks x dt): the reference
+    ran soft real-time so its wall-clock task_time approximates sim time;
+    ours runs much faster than real time, so sim time is the comparable
+    quantity.
+    """
+    avg_sim = 1.0 / max(float(np.mean(log.sim_s)) if log.sim_s else 0.0, 1e-9)
+    avg_mot = 1.0 / max(
+        float(np.mean(log.replan_s)) if log.replan_s else 0.0, 1e-9
+    )
     # task planner cost is folded into replan time in this architecture; log
     # its effective rate as the tick rate (the reference's PLANNER_SIMPLE is
     # a no-op measured in isolation, plot_point.py col 15)
@@ -48,7 +57,7 @@ def finalize_point_row(log, view: dict, goal, start_time: float) -> np.ndarray:
             avg_task,
             avg_mot,
             float(log.collisions),
-            time.time() - start_time,
+            dt_steps * dt,
         ],
         dtype=np.float64,
     )

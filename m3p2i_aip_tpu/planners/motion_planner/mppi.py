@@ -73,6 +73,14 @@ class MPPIConfig:
     use_priors: bool = False
     fine_noise_scale: float = 0.05  # scale of the fine-sampling quartile (extension)
     use_pallas: bool = True  # fused TPU kernels where available (extension)
+    # Gradient refinement of the mean plan (extension): the JAX physics
+    # rollout is differentiable end-to-end, so after the importance-weighted
+    # update the mean action sequence can take a few first-order steps on the
+    # true discounted cost.  Closes the last centimetres on narrow kinematic
+    # manifolds (e.g. shelf-side grasps at full arm extension) where random
+    # sampling stalls.  0 = off (pure sampling, reference behavior).
+    grad_refine_steps: int = 0
+    grad_refine_lr: float = 0.02
     seed_val: int = 0
     eta_u_bound: int = 10
     eta_l_bound: int = 5
@@ -553,8 +561,61 @@ class MPPI:
         actions = act_seq  # u_scale divided back out (mppi.py:420)
 
         state = self._update_halton(state, cost_horizon, actions)
+        state = self._grad_refine(state, sim_state_k, task)
         action = state.mean_action  # (mppi.py:245)
         return state, action, tps
+
+    def _grad_refine(self, state: MPPIState, sim_state_k, task: TaskParams):
+        """First-order refinement of the mean plan on the differentiable
+        rollout (see MPPIConfig.grad_refine_steps)."""
+        steps = int(getattr(self.cfg, "grad_refine_steps", 0) or 0)
+        if steps <= 0:
+            return state
+        lr = float(getattr(self.cfg, "grad_refine_lr", 0.02))
+        sim_state0 = jax.tree_util.tree_map(lambda x: x[0], sim_state_k)
+
+        def make_refine(mode):
+            def plan_cost(mean):
+                mean = self._gripper_override(mean, task)
+
+                def step_t(carry, u_t):
+                    s, ext = carry
+                    s = self.F(s, self.u_scale * u_t, ext)
+                    c, ext = self.running_cost(s, u_t, task, mode)
+                    return (s, ext), c
+
+                (_, _), costs = jax.lax.scan(
+                    step_t, (sim_state0, self.zero_ext()), mean
+                )
+                return jnp.sum(costs * self.gamma_seq)
+
+            grad_fn = jax.grad(plan_cost)
+
+            def refine(mean, _):
+                g = grad_fn(mean)
+                # contact/branch discontinuities can yield non-finite grads
+                # (where-branch trap); treat them as zero descent direction
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+                # normalized step: robust to the 1000-scale collision penalties
+                g = g / jnp.maximum(jnp.linalg.norm(g), 1e-6)
+                mean = jnp.clip(mean - lr * g, self.u_min, self.u_max)
+                return mean, None
+
+            return lambda mean: jax.lax.scan(refine, mean, None, length=steps)[0]
+
+        if self.multi_modal:
+            # the global mean is refined under the currently-winning mode
+            win = (
+                jnp.sum(state.weights[self.half_K :])
+                > jnp.sum(state.weights[: self.half_K])
+            ).astype(jnp.int32)
+            mean = self._gripper_override(make_refine(win)(state.mean_action), task)
+            m1 = self._gripper_override(make_refine(0)(state.mean_action_1), task)
+            m2 = self._gripper_override(make_refine(1)(state.mean_action_2), task)
+            return state.replace(mean_action=mean, mean_action_1=m1, mean_action_2=m2)
+        mode0 = self.sample_mode[0]
+        mean = self._gripper_override(make_refine(mode0)(state.mean_action), task)
+        return state.replace(mean_action=mean)
 
     def _command_simple(self, state: MPPIState, sim_state_k, task: TaskParams):
         """Parity: _compute_total_cost_batch_simple + U update (mppi.py:220-233,

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
 from functools import partial
 
 from m3p2i_aip_tpu.envs import Env, make_env, update_dyn_obs_device
@@ -29,8 +30,23 @@ from m3p2i_aip_tpu.planners.task_planner.task_planner import set_task_planner
 from m3p2i_aip_tpu.utils import skill_utils
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent jit cache: repeated runs (experiment batches, restarts)
+    skip the one-time trace+compile of the planner step."""
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/m3p2i_aip_tpu_jax"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a failure
+        pass
+
+
 class ReactiveTAMP:
     def __init__(self, cfg, env: Optional[Env] = None) -> None:
+        _enable_compilation_cache()
         self.cfg = cfg
         self.env = env if env is not None else make_env(cfg)
 

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Batch experiment runner: N randomized runs per scenario -> .npy logs +
+statistics, in the reference's schemas and formulas.
+
+This reproduces the reference's evaluation pipeline (SURVEY.md §4.3: logged
+experiment batches + offline statistics over 20-64 runs; schemas at
+plot/plot_point.py:26-34) so task-quality envelopes are directly comparable
+with BASELINE.md.
+
+Run:
+    python3 scripts/run_experiments.py task=push goal="[-1,-1]" n_runs=20
+    python3 scripts/run_experiments.py task=push_pull multi_modal=True \
+        goal="[-3.75,-3.75]" n_runs=20 out=plot/point/hybrid.npy
+"""
+import sys
+import time
+
+import numpy as np
+
+from m3p2i_aip_tpu.analysis import RunLogger, finalize_point_row, summarize
+from m3p2i_aip_tpu.config.config_store import load_config_from_argv
+from m3p2i_aip_tpu.tamp.sim_loop import SimLoop
+
+
+def main(argv) -> None:
+    n_runs = 20
+    out = None
+    passthrough = []
+    for a in argv:
+        if a.startswith("n_runs="):
+            n_runs = int(a.split("=", 1)[1])
+        elif a.startswith("out="):
+            out = a.split("=", 1)[1]
+        else:
+            passthrough.append(a)
+    cfg = load_config_from_argv(passthrough, default_config="config_point")
+    out = out or f"plot/point/{cfg.task}{'_mm' if cfg.multi_modal else ''}.npy"
+
+    # enable the scene-randomization hooks the reference uses for robustness
+    # experiments (friction noise on the box, isaacgym_wrapper.py:311-326)
+    logger = RunLogger(out)
+    successes = 0
+    for run in range(n_runs):
+        cfg.mppi.seed_val = run  # seeds both sampling and domain noise
+        t0 = time.time()
+        loop = SimLoop(cfg)
+        loop.warmup(20)
+        log = loop.run(cfg.n_steps)
+        ok = log.success_step is not None
+        successes += int(ok)
+        view = loop._view
+        logger.add(finalize_point_row(log, view, cfg.goal, t0, dt=cfg.sim.dt))
+        print(
+            f"run {run}: success={ok} steps={log.steps} "
+            f"collisions={log.collisions} "
+            f"replan_hz={1.0 / max(np.mean(log.replan_s), 1e-9):.1f}",
+            flush=True,
+        )
+    path = logger.save()
+    print(f"\nsaved {n_runs} rows -> {path}")
+    print(f"success rate: {successes}/{n_runs}")
+    data = np.load(path)
+    stats = summarize(data, "point")
+    for k, (m, s) in stats.items():
+        print(f"{k}: {m:.4f} ± {s:.4f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

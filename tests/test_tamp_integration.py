@@ -110,6 +110,28 @@ def test_panda_pick_place_sequence():
     )
 
 
+@pytest.mark.slow
+def test_panda_multimodal_shelf_pick():
+    """The reference's flagship multi-modal scenario: `-cn config_panda
+    multi_modal=True cube_on_shelf=True` (README.md:128-137) — side-grasp
+    mode wins on the shelf and the cube ends at the goal."""
+    cfg = load_config(
+        "config_panda",
+        ["multi_modal=True", "cube_on_shelf=True", "mppi.num_samples=128"],
+    )
+    loop = SimLoop(cfg)
+    loop.warmup(20)
+    done = False
+    for i in range(700):
+        done = loop.tick(i)
+        if done:
+            break
+    assert done, (
+        f"shelf pick did not finish; task={loop.tamp.task_planner.task}, "
+        f"cube={loop.state.body_pos[1]}"
+    )
+
+
 def test_box_never_tunnels_through_walls():
     """Physics sanity: hard shoves can't carry the box past the arena walls."""
     from m3p2i_aip_tpu.envs import make_env
