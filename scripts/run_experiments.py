@@ -17,7 +17,12 @@ import time
 
 import numpy as np
 
-from m3p2i_aip_tpu.analysis import RunLogger, finalize_point_row, summarize
+from m3p2i_aip_tpu.analysis import (
+    RunLogger,
+    finalize_panda_row,
+    finalize_point_row,
+    summarize,
+)
 from m3p2i_aip_tpu.config.config_store import load_config_from_argv
 from m3p2i_aip_tpu.tamp.sim_loop import SimLoop
 
@@ -25,19 +30,27 @@ from m3p2i_aip_tpu.tamp.sim_loop import SimLoop
 def main(argv) -> None:
     n_runs = 20
     out = None
+    config_name = "config_point"
     passthrough = []
-    for a in argv:
+    it = iter(range(len(argv)))
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("n_runs="):
             n_runs = int(a.split("=", 1)[1])
         elif a.startswith("out="):
             out = a.split("=", 1)[1]
+        elif a in ("-cn", "--config-name"):
+            config_name = argv[i + 1]
+            i += 1
         else:
             passthrough.append(a)
-    cfg = load_config_from_argv(passthrough, default_config="config_point")
-    out = out or f"plot/point/{cfg.task}{'_mm' if cfg.multi_modal else ''}.npy"
+        i += 1
+    cfg = load_config_from_argv(passthrough, default_config=config_name)
+    is_panda = cfg.env_type == "panda_env"
+    family = "panda" if is_panda else "point"
+    out = out or f"plot/{family}/{cfg.task}{'_mm' if cfg.multi_modal else ''}.npy"
 
-    # enable the scene-randomization hooks the reference uses for robustness
-    # experiments (friction noise on the box, isaacgym_wrapper.py:311-326)
     logger = RunLogger(out)
     successes = 0
     for run in range(n_runs):
@@ -49,7 +62,12 @@ def main(argv) -> None:
         ok = log.success_step is not None
         successes += int(ok)
         view = loop._view
-        logger.add(finalize_point_row(log, view, cfg.goal, t0, dt=cfg.sim.dt))
+        if is_panda:
+            logger.add(finalize_panda_row(view))
+        else:
+            logger.add(
+                finalize_point_row(log, view, cfg.goal, t0, dt=cfg.sim.dt)
+            )
         print(
             f"run {run}: success={ok} steps={log.steps} "
             f"collisions={log.collisions} "
@@ -60,7 +78,7 @@ def main(argv) -> None:
     print(f"\nsaved {n_runs} rows -> {path}")
     print(f"success rate: {successes}/{n_runs}")
     data = np.load(path)
-    stats = summarize(data, "point")
+    stats = summarize(data, family)
     for k, (m, s) in stats.items():
         print(f"{k}: {m:.4f} ± {s:.4f}")
 
