@@ -81,6 +81,9 @@ class MPPIConfig:
     # sampling stalls.  0 = off (pure sampling, reference behavior).
     grad_refine_steps: int = 0
     grad_refine_lr: float = 0.02
+    # per-tick jitter on the cached Halton deltas (extension; breaks
+    # deterministic replanning fixed points — see _command_halton)
+    exploration_noise: float = 0.05
     seed_val: int = 0
     eta_u_bound: int = 10
     eta_l_bound: int = 5
@@ -205,6 +208,7 @@ class MPPI:
             np.cumprod([1.0] + [self.gamma] * (self.T - 1)), dtype=jnp.float32
         )
         self.fine_noise_scale = getattr(mcfg, "fine_noise_scale", 0.05)
+        self.exploration_noise = float(getattr(mcfg, "exploration_noise", 0.05))
         # STORM-lineage constants (mppi.py:168-203)
         self.knot_scale = 4
         self.n_knots = self.T // self.knot_scale
@@ -534,6 +538,20 @@ class MPPI:
             state = state.replace(rng=rng)
         else:
             delta = self._delta
+            if self.exploration_noise > 0.0:
+                # Tiny per-tick jitter on the cached Halton deltas.  The
+                # reference's planner is equally deterministic but rides a
+                # nondeterministic physics engine with randomized friction
+                # (isaacgym_wrapper.py:311-326); a fully deterministic
+                # planner+sim pair can park in a replanning fixed point
+                # (observed on corner push_pull).  This breaks such fixed
+                # points while leaving the low-discrepancy structure intact.
+                rng, sub = jax.random.split(state.rng)
+                delta = delta + self.exploration_noise * jax.random.normal(
+                    sub, delta.shape, dtype=jnp.float32
+                )
+                delta = delta.at[-1].set(0.0)  # keep the pure-mean sample
+                state = state.replace(rng=rng)
 
         scaled_delta = delta * self.scale_tril  # (mppi.py:394)
         if self.multi_modal:

@@ -132,6 +132,29 @@ class SimLoop:
                 break
         return self.log
 
+    def perturb_body(self, name: str, dpos) -> None:
+        """Displace a named dynamic body in the real env (host-side).
+
+        The scripted analogue of the reference's interactive cube
+        perturbation (``play_with_cube``/viewer keys, isaacgym_wrapper.py:413-437)
+        used in its "reactive" scenarios: shove the object mid-task and let
+        the planner re-plan.
+        """
+        names = list(self.env.params.actor_names)
+        if self.env.env_type == "panda_env":
+            from m3p2i_aip_tpu.models.panda_env import _DYN_NAMES
+
+            slot = _DYN_NAMES.index(name)
+            self.state = self.state.replace(
+                body_pos=self.state.body_pos.at[slot].add(jnp.asarray(dpos))
+            )
+        else:
+            slot = self.env.params.dyn_actor_idx.index(names.index(name))
+            self.state = self.state.replace(
+                dyn_pos=self.state.dyn_pos.at[slot].add(jnp.asarray(dpos[:2]))
+            )
+        self._view = self.env.view(self.state)
+
     def run_chunked(self, n_steps: int, chunk: int = 10) -> TickLog:
         """Chunked execution: ``chunk`` full replan+step ticks per dispatch.
 

@@ -111,6 +111,29 @@ def test_panda_pick_place_sequence():
 
 
 @pytest.mark.slow
+def test_panda_reactive_pick_with_disturbance():
+    """The 'reactive' scenario: the cube is shoved mid-reach (the scripted
+    analogue of the reference's play_with_cube interaction) and the planner
+    must re-reach and still complete the pick-place."""
+    cfg = load_config("config_panda", ["mppi.num_samples=128"])
+    loop = SimLoop(cfg)
+    loop.warmup(20)
+    done = False
+    perturbed = False
+    for i in range(900):
+        if i == 40 and not perturbed:
+            loop.perturb_body("cubeA", [0.0, 0.15, 0.0])
+            perturbed = True
+        done = loop.tick(i)
+        if done:
+            break
+    assert perturbed and done, (
+        f"reactive pick failed; task={loop.tamp.task_planner.task}, "
+        f"cube={loop.state.body_pos[1]}"
+    )
+
+
+@pytest.mark.slow
 def test_panda_multimodal_shelf_pick():
     """The reference's flagship multi-modal scenario: `-cn config_panda
     multi_modal=True cube_on_shelf=True` (README.md:128-137) — side-grasp
