@@ -144,6 +144,7 @@ class MPPIState:
     U: jnp.ndarray  # [T, nu] simple-mode nominal sequence
     beta: jnp.ndarray  # adaptive inverse temperature (persistent, mppi.py:446-454)
     weights: jnp.ndarray  # [K] last importance weights
+    cov_action: jnp.ndarray  # [nu] diagonal sampling covariance (mppi.py:175, 508-516)
     rng: jax.Array  # PRNG key for 'random' sampling
 
 
@@ -315,6 +316,9 @@ class MPPI:
             # signature after the first update and force a full recompile
             beta=jnp.ones((), dtype=jnp.float32),
             weights=jnp.full((self.K,), 1.0 / self.K, dtype=jnp.float32),
+            cov_action=jnp.asarray(
+                np.diagonal(self.noise_sigma), dtype=jnp.float32
+            ),
             rng=rng,
         )
 
@@ -484,7 +488,18 @@ class MPPI:
             (1.0 - self.step_size_mean) * state.mean_action
             + self.step_size_mean * new_mean
         )
-        return state.replace(mean_action=mean, best_traj=best, weights=w, beta=beta)
+        state = state.replace(mean_action=mean, best_traj=best, weights=w, beta=beta)
+        if self.cfg.update_cov:
+            # Optional diagonal covariance adaptation (mppi.py:508-516):
+            # weighted second moment of the action deviations, smoothed with
+            # step_size_cov=0.7, floored by kappa=0.005.
+            delta = actions - mean[None]
+            cov_update = jnp.mean(
+                jnp.einsum("k,ktu->tu", w, delta**2), axis=0
+            )
+            cov = (1.0 - 0.7) * state.cov_action + 0.7 * cov_update + 0.005
+            state = state.replace(cov_action=cov)
+        return state
 
     # --------------------------------------------------------------- command
     def command(self, state: MPPIState, sim_state, task: TaskParams):
@@ -553,7 +568,9 @@ class MPPI:
                 delta = delta.at[-1].set(0.0)  # keep the pure-mean sample
                 state = state.replace(rng=rng)
 
-        scaled_delta = delta * self.scale_tril  # (mppi.py:394)
+        # (mppi.py:394); with update_cov the scale adapts per tick (:516)
+        scale = jnp.sqrt(state.cov_action) if self.cfg.update_cov else self.scale_tril
+        scaled_delta = delta * scale
         if self.multi_modal:
             mean_m = jnp.where(
                 (self.sample_mode == 0)[:, None, None],
