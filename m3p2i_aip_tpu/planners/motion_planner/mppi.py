@@ -216,6 +216,15 @@ class MPPI:
         self.ndims = self.n_knots * self.nu
         self.degree = 2
         self.step_size_mean = 0.98
+        self.step_size_cov = 0.7  # (mppi.py:202)
+        self.kappa = 0.005  # additive per-tick covariance drift (mppi.py:203)
+        if mcfg.update_cov and (self.multi_modal or mcfg.mppi_mode == "simple"):
+            raise ValueError(
+                "update_cov only applies to single-mode halton-spline MPPI "
+                "(the reference's covariance update lives in "
+                "_update_distribution, mppi.py:508-516, which the multi-modal "
+                "and simple paths never reach)"
+            )
         self.squash_fn = "clamp"
         self.scale_tril = jnp.asarray(
             np.sqrt(np.diagonal(self.noise_sigma)), dtype=jnp.float32
@@ -300,7 +309,7 @@ class MPPI:
         rng = rng if rng is not None else jax.random.PRNGKey(self.seed_val)
         rng, sub = jax.random.split(rng)
         # reference initializes U by sampling the noise dist (mppi.py:134)
-        U0 = self.noise_mu + jax.random.multivariate_normal(
+        U0 = jax.random.multivariate_normal(
             sub, jnp.asarray(self.noise_mu), jnp.asarray(self.noise_sigma),
             shape=(self.T,),
         )
@@ -491,13 +500,18 @@ class MPPI:
         state = state.replace(mean_action=mean, best_traj=best, weights=w, beta=beta)
         if self.cfg.update_cov:
             # Optional diagonal covariance adaptation (mppi.py:508-516):
-            # weighted second moment of the action deviations, smoothed with
-            # step_size_cov=0.7, floored by kappa=0.005.
+            # weighted second moment of the action deviations, smoothed by
+            # step_size_cov, plus the additive kappa drift (steady-state
+            # minimum kappa / step_size_cov, not a hard floor).
             delta = actions - mean[None]
             cov_update = jnp.mean(
                 jnp.einsum("k,ktu->tu", w, delta**2), axis=0
             )
-            cov = (1.0 - 0.7) * state.cov_action + 0.7 * cov_update + 0.005
+            cov = (
+                (1.0 - self.step_size_cov) * state.cov_action
+                + self.step_size_cov * cov_update
+                + self.kappa
+            )
             state = state.replace(cov_action=cov)
         return state
 

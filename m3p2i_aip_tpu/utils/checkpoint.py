@@ -8,6 +8,7 @@ reactive run can stop and resume bit-exactly.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 from typing import Any, Dict, Tuple
 
@@ -16,20 +17,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _flatten(tree) -> Tuple[Dict[str, np.ndarray], Any]:
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    return arrays, treedef
+def _field_arrays(tree) -> Dict[str, np.ndarray]:
+    """Dataclass pytree -> {field_name: array}.  Name-keyed (not positional)
+    so checkpoints stay loadable when fields are added or reordered."""
+    return {
+        f.name: np.asarray(getattr(tree, f.name))
+        for f in dataclasses.fields(tree)
+    }
+
+
+def _restore_fields(tree, data: Dict, prefix: str):
+    """Replace matching fields from saved arrays; unknown saved fields are
+    ignored and missing ones keep the freshly-initialized values."""
+    updates = {}
+    for f in dataclasses.fields(tree):
+        key = f"{prefix}{f.name}"
+        if key in data:
+            updates[f.name] = jnp.asarray(data[key])
+    return tree.replace(**updates)
 
 
 def save_checkpoint(path: str, tamp, sim_state) -> str:
     """Save a SimLoop/ReactiveTAMP snapshot to ``path`` (.npz)."""
     blobs = {}
-    mppi_arrays, _ = _flatten(tamp.mppi_state)
-    for k, v in mppi_arrays.items():
+    for k, v in _field_arrays(tamp.mppi_state).items():
         blobs[f"mppi/{k}"] = v
-    sim_arrays, _ = _flatten(sim_state)
-    for k, v in sim_arrays.items():
+    for k, v in _field_arrays(sim_state).items():
         blobs[f"sim/{k}"] = v
 
     tp = tamp.task_planner
@@ -54,15 +67,8 @@ def load_checkpoint(path: str, tamp, sim_state):
     fields are updated in place.
     """
     data = np.load(path)
-    mppi_leaves, mppi_def = jax.tree_util.tree_flatten(tamp.mppi_state)
-    restored = [
-        jnp.asarray(data[f"mppi/leaf_{i}"]) for i in range(len(mppi_leaves))
-    ]
-    tamp.mppi_state = jax.tree_util.tree_unflatten(mppi_def, restored)
-
-    sim_leaves, sim_def = jax.tree_util.tree_flatten(sim_state)
-    restored = [jnp.asarray(data[f"sim/leaf_{i}"]) for i in range(len(sim_leaves))]
-    new_sim = jax.tree_util.tree_unflatten(sim_def, restored)
+    tamp.mppi_state = _restore_fields(tamp.mppi_state, data, "mppi/")
+    new_sim = _restore_fields(sim_state, data, "sim/")
 
     host = json.loads(bytes(data["host_json"]).decode())
     tp = tamp.task_planner

@@ -268,27 +268,3 @@ def test_native_halton_matches_numpy():
             axis=1,
         )
         assert np.array_equal(native, ref), f"scramble={scramble}"
-
-
-def test_update_cov_adapts_sampling_scale():
-    """Optional covariance adaptation (reference mppi.py:508-516): enabling
-    update_cov shrinks the sampling scale once costs concentrate."""
-    import jax
-    import jax.numpy as jnp
-
-    from m3p2i_aip_tpu.config.config_store import load_config
-    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
-
-    cfg = load_config(
-        "config_point",
-        ["task=navigation", "goal=[-3,3]", "mppi.num_samples=32",
-         "mppi.update_cov=True"],
-    )
-    tamp = ReactiveTAMP(cfg)
-    state = tamp.env.init_state()
-    cov0 = np.asarray(tamp.mppi_state.cov_action)
-    for i in range(5):
-        tamp.run_tamp(state)
-    cov1 = np.asarray(tamp.mppi_state.cov_action)
-    assert not np.allclose(cov0, cov1), "covariance did not adapt"
-    assert np.all(cov1 > 0)

@@ -171,6 +171,49 @@ def test_box_never_tunnels_through_walls():
     assert np.all(np.isfinite(np.asarray(s.q)))
 
 
+@pytest.mark.slow
+def test_update_cov_adapts_and_is_consumed():
+    """Covariance adaptation (reference mppi.py:508-516): cov_action must
+    both adapt away from the pure-kappa drift AND change the sampled actions
+    (i.e. _command_halton consumes sqrt(cov_action))."""
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    def build(update_cov):
+        cfg = load_config(
+            "config_point",
+            [
+                "task=navigation",
+                "goal=[-3,3]",
+                "mppi.num_samples=32",
+                "mppi.exploration_noise=0",  # isolate the cov effect
+                f"mppi.update_cov={update_cov}",
+            ],
+        )
+        return ReactiveTAMP(cfg)
+
+    on, off = build(True), build(False)
+    state = on.env.init_state()
+    a_on = a_off = None
+    for i in range(4):
+        a_on = np.asarray(on.run_tamp(state))
+        a_off = np.asarray(off.run_tamp(state))
+    cov = np.asarray(on.mppi_state.cov_action)
+    # pure-drift prediction if the weighted update were broken (cov_update=0):
+    # cov_t = 0.3^t * cov_0 + kappa * sum(0.3^i) — far below the initial 3.0
+    drift_only = 0.3**4 * 3.0 + 0.005 * sum(0.3**i for i in range(4))
+    assert not np.allclose(cov, drift_only, atol=0.05), cov
+    assert not np.allclose(cov, 3.0), "covariance did not adapt"
+    # the adapted scale must actually change the planned actions
+    assert not np.allclose(a_on, a_off, atol=1e-5)
+    # and the flag is rejected where it would be silently inert
+    with pytest.raises(ValueError):
+        load_cfg = load_config(
+            "config_point",
+            ["multi_modal=True", "mppi.update_cov=True", "mppi.num_samples=32"],
+        )
+        ReactiveTAMP(load_cfg)
+
+
 def test_domain_randomization_friction_and_size():
     """Friction/size noise parity (isaacgym_wrapper.py:311-326,
     actor_utils.py:64-69): seeded noise perturbs the built params."""
