@@ -32,6 +32,9 @@ def main() -> None:
     )
     loop = SimLoop(cfg)
     loop.warmup(50)
+    # keep replanning forever: the benchmark measures sustained replan rate,
+    # not task completion (the box reaches the goal within the settle phase)
+    loop.tamp.task_planner.check_task_success = lambda view: False
 
     # chunked execution: every tick is a full K x T replan + real-env step,
     # scanned on-device so dispatch latency is amortized (the reference pays
@@ -39,14 +42,12 @@ def main() -> None:
     chunk = 50
     for _ in range(2):  # compile + settle (2nd round catches signature drift)
         loop.run_chunked(chunk, chunk=chunk)
-        loop.tamp.task_success = False
 
     n = 200
     t0 = time.perf_counter()
     done = 0
     while done < n:
         loop.run_chunked(chunk, chunk=chunk)
-        loop.tamp.task_success = False  # keep replanning even after success
         done += chunk
     dt = time.perf_counter() - t0
 

@@ -271,13 +271,16 @@ def step(
     q, qd = state.q, state.qd
     dpos, dyaw = state.dyn_pos, state.dyn_yaw
     dvel, dom = state.dyn_vel, state.dyn_om
-    force_accum = jnp.zeros((params.num_actors, 3))
+    # Dense per-category force accumulators (robot / dynamic / static) —
+    # NO per-pass actor-index scatters: TPU scatters serialize, and the ~30
+    # of them per step dominated the vmapped rollout's runtime.  The actor-
+    # indexed contact_force tensor is assembled once at the end by stacking.
+    f_rob = jnp.zeros(3)
+    f_dyn = jnp.zeros((D, 3))
+    f_stat = jnp.zeros((S, 3))
 
     wm_r = 1.0 / params.robot_mass
     decay = float(np.exp(-params.drive_rate * params.dt / params.substeps))
-
-    dyn_actor = jnp.asarray(params.dyn_actor_idx, dtype=jnp.int32)
-    stat_actor = jnp.asarray(params.stat_actor_idx, dtype=jnp.int32)
 
     def pad3(f):
         return jnp.concatenate([f, jnp.zeros(f.shape[:-1] + (1,))], axis=-1)
@@ -334,45 +337,48 @@ def step(
             dvel = dvel + out[6]
             dom = dom + out[7]
             f_r = pad3(out[8])
-            force_accum = force_accum.at[params.robot_actor_idx].add(f_r.sum(0))
-            force_accum = force_accum.at[dyn_actor].add(-f_r)
+            f_rob = f_rob + f_r.sum(0)
+            f_dyn = f_dyn - f_r
 
-            # pass 2: dynamic vs dynamic (corners of i inside j, both orders)
+            # pass 2: dynamic vs dynamic (corners of i inside j, both
+            # orders).  Unrolled over the static (i, j) pairs: D is tiny and
+            # static, and per-pair scalar indexing avoids gather/scatter ops.
             if D > 1:
-                pairs = [(i, j) for i in range(D) for j in range(D) if i != j]
-                ii = jnp.asarray([p[0] for p in pairs])
-                jj = jnp.asarray([p[1] for p in pairs])
-                c = pbd2d.corners_vs_obb(
-                    dpos[ii], dyaw[ii], params.dyn_half[ii],
-                    dpos[jj], dyaw[jj], params.dyn_half[jj],
-                )
-                out = pbd2d.resolve_contact(
-                    c,
-                    dpos[ii][:, None, :], dyaw[ii][:, None],
-                    dvel[ii][:, None, :], dom[ii][:, None],
-                    params.dyn_inv_mass[ii][:, None],
-                    params.dyn_inv_inertia[ii][:, None],
-                    dpos[jj][:, None, :], dyaw[jj][:, None],
-                    dvel[jj][:, None, :], dom[jj][:, None],
-                    params.dyn_inv_mass[jj][:, None],
-                    params.dyn_inv_inertia[jj][:, None],
-                    h,
-                    friction=(params.dyn_friction[ii] + params.dyn_friction[jj])[
-                        :, None
-                    ] / 2,
-                    relax=0.5,
-                )
-                dpos = dpos.at[ii].add(out[0].sum(1))
-                dyaw = dyaw.at[ii].add(out[1].sum(1))
-                dvel = dvel.at[ii].add(out[2].sum(1))
-                dom = dom.at[ii].add(out[3].sum(1))
-                dpos = dpos.at[jj].add(out[4].sum(1))
-                dyaw = dyaw.at[jj].add(out[5].sum(1))
-                dvel = dvel.at[jj].add(out[6].sum(1))
-                dom = dom.at[jj].add(out[7].sum(1))
-                f_p = pad3(out[8])
-                force_accum = force_accum.at[dyn_actor[ii]].add(f_p.sum(1))
-                force_accum = force_accum.at[dyn_actor[jj]].add(-f_p.sum(1))
+                ddpos = jnp.zeros_like(dpos)
+                ddyaw = jnp.zeros_like(dyaw)
+                ddvel = jnp.zeros_like(dvel)
+                ddom = jnp.zeros_like(dom)
+                for i in range(D):
+                    for j in range(D):
+                        if i == j:
+                            continue
+                        c = pbd2d.corners_vs_obb(
+                            dpos[i], dyaw[i], params.dyn_half[i],
+                            dpos[j], dyaw[j], params.dyn_half[j],
+                        )
+                        out = pbd2d.resolve_contact(
+                            c,
+                            dpos[i][None, :], dyaw[i][None],
+                            dvel[i][None, :], dom[i][None],
+                            params.dyn_inv_mass[i],
+                            params.dyn_inv_inertia[i],
+                            dpos[j][None, :], dyaw[j][None],
+                            dvel[j][None, :], dom[j][None],
+                            params.dyn_inv_mass[j],
+                            params.dyn_inv_inertia[j],
+                            h,
+                            friction=(params.dyn_friction[i]
+                                      + params.dyn_friction[j]) / 2,
+                            relax=0.5,
+                        )
+                        ddpos = ddpos.at[i].add(out[0].sum(0)).at[j].add(out[4].sum(0))
+                        ddyaw = ddyaw.at[i].add(out[1].sum(0)).at[j].add(out[5].sum(0))
+                        ddvel = ddvel.at[i].add(out[2].sum(0)).at[j].add(out[6].sum(0))
+                        ddom = ddom.at[i].add(out[3].sum(0)).at[j].add(out[7].sum(0))
+                        f_p = pad3(out[8]).sum(0)
+                        f_dyn = f_dyn.at[i].add(f_p).at[j].add(-f_p)
+                dpos, dyaw = dpos + ddpos, dyaw + ddyaw
+                dvel, dom = dvel + ddvel, dom + ddom
 
             # pass 3: dynamic boxes vs static boxes [D, S, 4].  Full-strength
             # projection: per-corner corrections are normalized by the number
@@ -404,8 +410,8 @@ def step(
             dvel = dvel + out[2].sum((1, 2))
             dom = dom + out[3].sum((1, 2))
             f_d = pad3(out[8])  # [D, S, 4, 3]
-            force_accum = force_accum.at[dyn_actor].add(f_d.sum((1, 2)))
-            force_accum = force_accum.at[stat_actor].add(-f_d.sum((0, 2)))
+            f_dyn = f_dyn + f_d.sum((1, 2))
+            f_stat = f_stat - f_d.sum((0, 2))
 
             # pass 4: robot circle vs static boxes [S] — full strength, last
             c = pbd2d.circle_vs_obb(
@@ -424,8 +430,8 @@ def step(
             q = q.at[:2].add(out[0].sum(0))
             qd = qd.at[:2].add(out[2].sum(0))
             f_r = pad3(out[8])
-            force_accum = force_accum.at[params.robot_actor_idx].add(f_r.sum(0))
-            force_accum = force_accum.at[stat_actor].add(-f_r)
+            f_rob = f_rob + f_r.sum(0)
+            f_stat = f_stat - f_r
 
             # pass 5: robot vs dynamic again, with the dynamic body IMMOVABLE.
             # Closes the robot->box->wall constraint chain: pass 3 pinned the
@@ -448,6 +454,15 @@ def step(
             qd = qd.at[:2].add(out[2].sum(0))
 
     n_norm = params.substeps * params.pos_iters
+    # assemble the actor-indexed contact_force by stacking in actor order
+    # (static permutation -> plain concatenation, no scatter)
+    rows = [jnp.zeros(3)] * params.num_actors
+    rows[params.robot_actor_idx] = f_rob
+    for k, a in enumerate(params.dyn_actor_idx):
+        rows[a] = f_dyn[k]
+    for k, a in enumerate(params.stat_actor_idx):
+        rows[a] = f_stat[k]
+    force_accum = jnp.stack(rows)
     return state.replace(
         q=q,
         qd=qd,

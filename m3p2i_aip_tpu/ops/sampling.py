@@ -35,16 +35,16 @@ def _primes(num: int) -> np.ndarray:
     if num == 0:
         return np.array([], dtype=np.int64)
     limit = max(16, int(num * (np.log(num + 2) + np.log(np.log(num + 3))) + 10))
-    sieve = np.ones(limit, dtype=bool)
-    sieve[:2] = False
-    for i in range(2, int(limit**0.5) + 1):
-        if sieve[i]:
-            sieve[i * i :: i] = False
-    primes = np.flatnonzero(sieve)
-    while primes.size < num:  # pragma: no cover
-        limit *= 2
-        return _primes(num)
-    return primes[:num]
+    while True:
+        sieve = np.ones(limit, dtype=bool)
+        sieve[:2] = False
+        for i in range(2, int(limit**0.5) + 1):
+            if sieve[i]:
+                sieve[i * i :: i] = False
+        primes = np.flatnonzero(sieve)
+        if primes.size >= num:
+            return primes[:num]
+        limit *= 2  # estimate undershot: grow the sieve and retry
 
 
 def van_der_corput(indices: np.ndarray, base: int, permutation=None) -> np.ndarray:

@@ -85,8 +85,8 @@ class MPPIConfig:
     # deterministic replanning fixed points — see _command_halton)
     exploration_noise: float = 0.05
     seed_val: int = 0
-    eta_u_bound: int = 10
-    eta_l_bound: int = 5
+    eta_u_bound: float = 10.0  # multi-modal eta upper bound (m3p2i.py:58-60)
+    eta_l_bound: float = 3.0  # multi-modal eta lower bound
 
 
 @struct.dataclass
@@ -112,9 +112,11 @@ TASK_IDS = {
     "reach": 4,
     "pick": 5,
     "place": 6,
-    # non-planning tasks map to a safe default cost
+    # non-planning tasks map to a safe default cost (the reference degrades
+    # to motion-cost-only for unknown tasks, cost_functions.py:19-36)
     "idle": 0,
     "idle_success": 0,
+    "idle_fail": 0,
     "reactive_pick": 4,
 }
 
@@ -200,6 +202,9 @@ class MPPI:
             u_min = [-v for v in u_max]
         if u_min and not u_max:
             u_max = [-v for v in u_min]
+        if u_min is None:  # unbounded controls (reference _bound_action no-op)
+            u_min = [-np.inf] * self.nu
+            u_max = [np.inf] * self.nu
         self.u_min = jnp.asarray(u_min, dtype=jnp.float32)
         self.u_max = jnp.asarray(u_max, dtype=jnp.float32)
 
@@ -216,6 +221,8 @@ class MPPI:
         self.ndims = self.n_knots * self.nu
         self.degree = 2
         self.step_size_mean = 0.98
+        self.eta_u = float(mcfg.eta_u_bound)
+        self.eta_l = float(mcfg.eta_l_bound)
         self.step_size_cov = 0.7  # (mppi.py:202)
         self.kappa = 0.005  # additive per-tick covariance drift (mppi.py:203)
         if mcfg.update_cov and (self.multi_modal or mcfg.mppi_mode == "simple"):
@@ -308,11 +315,14 @@ class MPPI:
         z = jnp.zeros((self.T, self.nu), dtype=jnp.float32)
         rng = rng if rng is not None else jax.random.PRNGKey(self.seed_val)
         rng, sub = jax.random.split(rng)
-        # reference initializes U by sampling the noise dist (mppi.py:134)
-        U0 = jax.random.multivariate_normal(
-            sub, jnp.asarray(self.noise_mu), jnp.asarray(self.noise_sigma),
-            shape=(self.T,),
-        )
+        if self.cfg.U_init is not None:
+            U0 = jnp.asarray(self.cfg.U_init, dtype=jnp.float32)
+        else:
+            # reference initializes U by sampling the noise dist (mppi.py:134)
+            U0 = jax.random.multivariate_normal(
+                sub, jnp.asarray(self.noise_mu), jnp.asarray(self.noise_sigma),
+                shape=(self.T,),
+            )
         return MPPIState(
             mean_action=z,
             mean_action_1=z,
@@ -379,28 +389,6 @@ class MPPI:
         return jnp.swapaxes(costs, 0, 1), jnp.swapaxes(tps, 0, 1)
 
     # ---------------------------------------------------- weight computation
-    def _adaptive_beta_weights(self, costs, beta0, eta_u, eta_l, max_iter=64):
-        """Tune the inverse temperature until eta lands within bounds.
-
-        Parity: M3P2I.update_infinite_beta (m3p2i.py:24-44) — the reference's
-        unbounded ``while`` becomes a bounded ``lax.while_loop``.
-        """
-
-        def cond(carry):
-            beta, it = carry
-            eta = jnp.sum(jnp.exp((-1.0 / beta) * costs))
-            return ((eta > eta_u) | (eta < eta_l)) & (it < max_iter)
-
-        def body(carry):
-            beta, it = carry
-            eta = jnp.sum(jnp.exp((-1.0 / beta) * costs))
-            beta = jnp.where(eta > eta_u, beta * 0.9, jnp.where(eta < eta_l, beta * 1.2, beta))
-            return beta, it + 1
-
-        beta, _ = jax.lax.while_loop(cond, body, (beta0, jnp.asarray(0)))
-        exp_ = jnp.exp((-1.0 / beta) * costs)
-        return jnp.sum(exp_), exp_, beta
-
     def _exp_util(self, cost_horizon, beta):
         """Single-mode weights. Parity: MPPI._exp_util (mppi.py:430-456)."""
         traj_costs = discounted_traj_cost(cost_horizon, self.gamma_seq)
@@ -428,7 +416,7 @@ class MPPI:
             from m3p2i_aip_tpu.ops.pallas_kernels import multimodal_weights_pallas
 
             return multimodal_weights_pallas(
-                cost_horizon, self.gamma_seq, self.half_K, 10.0, 3.0
+                cost_horizon, self.gamma_seq, self.half_K, self.eta_u, self.eta_l
             )
         traj_costs = discounted_traj_cost(cost_horizon, self.gamma_seq)
         m0 = self.sample_mode == 0
@@ -459,9 +447,9 @@ class MPPI:
             exp_ = jnp.where(mask, jnp.exp((-1.0 / beta) * big), 0.0)
             return jnp.sum(exp_), exp_
 
-        eta0, exp0 = masked_beta(tc0, m0, 10.0, 3.0)
-        eta1, exp1 = masked_beta(tc1, ~m0, 10.0, 3.0)
-        eta, exp_ = masked_beta(tc, jnp.ones_like(m0), 10.0, 3.0)
+        eta0, exp0 = masked_beta(tc0, m0, self.eta_u, self.eta_l)
+        eta1, exp1 = masked_beta(tc1, ~m0, self.eta_u, self.eta_l)
+        eta, exp_ = masked_beta(tc, jnp.ones_like(m0), self.eta_u, self.eta_l)
         return exp0 / eta0, exp1 / eta1, exp_ / eta
 
     # ---------------------------------------------------------------- update
@@ -669,7 +657,7 @@ class MPPI:
     def _command_simple(self, state: MPPIState, sim_state_k, task: TaskParams):
         """Parity: _compute_total_cost_batch_simple + U update (mppi.py:220-233,
         335-363)."""
-        U = self._shift(state.U)  # torch.roll equivalent (mppi.py:221)
+        U = jnp.roll(state.U, -1, axis=0)  # plain roll (mppi.py:221)
         rng, sub = jax.random.split(state.rng)
         noise = jax.random.multivariate_normal(
             sub, jnp.asarray(self.noise_mu), jnp.asarray(self.noise_sigma),
@@ -697,4 +685,8 @@ class MPPI:
         weights = nz / jnp.sum(nz)
         U = U + jnp.einsum("k,ktu->tu", weights, noise_b)
         state = state.replace(U=U, weights=weights, rng=rng)
-        return state, U[: self.u_per_command], tps
+        # full sequence returned; the SG filter then acts on the whole [T]
+        # window and the caller slices u_per_command (reference filters the
+        # truncated slice instead -- identical when u_per_command == T, and
+        # free of filter edge bias when it is shorter)
+        return state, U, tps

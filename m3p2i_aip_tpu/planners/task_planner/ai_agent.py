@@ -112,7 +112,7 @@ class AiAgent:
                 self.post_x[:, tau, p] = s_pi_tau[:, 0]
                 self.F[p] += float(
                     self.post_x[:, tau, p]
-                    @ (aip_log(s_pi_tau) - lnB_past - lnA)
+                    @ (aip_log(s_pi_tau) - lnB_past - lnA)[:, 0]
                 )
         return self.F, self.post_x
 

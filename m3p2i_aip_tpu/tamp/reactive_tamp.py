@@ -115,7 +115,10 @@ class ReactiveTAMP:
         zero device round-trips (the fused tick returns next tick's view)."""
         self.task_planner.update_plan(view)
         gripper = self.motion_planner.update_gripper_command(self.task_planner.task)
-        self.suction_active = self.motion_planner.get_pull_preference(self.mppi_state)
+        # NOTE: the pull-vs-push preference is NOT synced here — the fused
+        # tick arbitrates on-device (_suction_ext_device) and get_suction()
+        # computes it on demand, keeping the host tick free of device
+        # round-trips (the CLAUDE.md fused-loop invariant).
         self.task_success = self.task_planner.check_task_success(view)
         grip = gripper if self.env.env_type == "panda_env" else "none"
         # cache the device TaskParams: the symbolic plan changes at ~1 Hz,
@@ -148,6 +151,7 @@ class ReactiveTAMP:
             return ext
         box_slot = self.env.params.dyn_actor_idx.index(names.index("box"))
         box_pos = real_state.dyn_pos[box_slot]
+        robot_pos = real_state.q[:2]  # 3-dof bases carry yaw in q[2]
 
         if self.multi_modal_suction:
             w = mppi_state.weights
@@ -157,13 +161,13 @@ class ReactiveTAMP:
         else:
             suction_on = jnp.asarray(bool(self.cfg.suction_active))
         task_ok = (task.task_id == 2) | (task.task_id == 3)
-        dir_rb = real_state.q - box_pos
+        dir_rb = robot_pos - box_pos
         align_ok = jnp.sum(action[:2] * dir_rb) > 0
         dist_ok = jnp.linalg.norm(dir_rb) < 0.6
         on = suction_on & task_ok & align_ok & dist_ok
 
         f_box, f_robot = skill_utils.calculate_suction(
-            box_pos, real_state.q, float(self.cfg.kp_suction), threshold=1.5
+            box_pos, robot_pos, float(self.cfg.kp_suction), threshold=1.5
         )
         zero2 = jnp.zeros(2)
         return ext.replace(
@@ -228,7 +232,11 @@ class ReactiveTAMP:
         return self.top_trajs
 
     def get_suction(self) -> int:
-        """Parity: reactive_tamp.py:86-87."""
+        """Parity: reactive_tamp.py:86-87 (computed on demand — see
+        tamp_interface_view)."""
+        self.suction_active = self.motion_planner.get_pull_preference(
+            self.mppi_state
+        )
         return int(self.suction_active)
 
 

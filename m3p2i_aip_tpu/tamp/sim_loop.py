@@ -37,12 +37,13 @@ def real_suction_ext(cfg, env: Env, state, action):
     if box_slot is None:
         return ext
     box_pos = state.dyn_pos[box_slot]
+    robot_pos = state.q[:2]  # 3-dof bases carry yaw in q[2]
     if not skill_utils.check_suction_condition(
-        cfg.task, bool(cfg.suction_active), state.q, box_pos, action
+        cfg.task, bool(cfg.suction_active), robot_pos, box_pos, action
     ):
         return ext
     f_box, f_robot = skill_utils.calculate_suction(
-        box_pos, state.q, float(cfg.kp_suction), threshold=1.5
+        box_pos, robot_pos, float(cfg.kp_suction), threshold=1.5
     )
     return ext.replace(robot=f_robot, dyn=ext.dyn.at[box_slot].set(f_box))
 
@@ -119,7 +120,10 @@ class SimLoop:
         vvec = jax.block_until_ready(vvec)
         t1 = time.perf_counter()
         self._view = self.env.view_unpack(vvec)
-        return self._record(i, self._view, t1 - t0, 0.0)
+        # replan and real-env step run in ONE fused program: the tick
+        # duration is both the replan time and the sim time (cols 14/16 of
+        # the reference log schema coincide in this architecture)
+        return self._record(i, self._view, t1 - t0, t1 - t0)
 
     def run(self, n_steps: int = 1000, realtime: bool = False, verbose: bool = False):
         """Run until success or ``n_steps``. Parity: sim.py:36-58."""
