@@ -263,6 +263,9 @@ class MPPI:
         from m3p2i_aip_tpu.ops.pallas_kernels import pallas_available
 
         self.use_pallas = pallas_available() and getattr(mcfg, "use_pallas", True)
+        # Optional fused rollout (ops/pallas_rollout.py): signature matches
+        # _rollout — (sim_state_k, scaled_acts, task) -> (cost_horizon, tps).
+        self.rollout_override = None
         self.mesh = None  # optional device mesh; see parallel/mesh.py
         self._command = jax.jit(self._command_impl)
 
@@ -368,6 +371,8 @@ class MPPI:
         vmap(dynamics) inside lax.scan over the horizon.
         Returns (cost_horizon [K, T], traj_points [K, T, d]).
         """
+        if self.rollout_override is not None and self.mesh is None:
+            return self.rollout_override(sim_state0, acts, task)
         ext0 = jax.vmap(lambda _: self.zero_ext())(jnp.arange(self.K))
         mode = self.sample_mode
 

@@ -65,6 +65,18 @@ class ReactiveTAMP:
             zero_ext=self.env.zero_ext,
             traj_point=self.env.traj_point,
         )
+        if self.env.env_type == "point_env" and self.motion_planner.use_pallas:
+            from m3p2i_aip_tpu.ops.pallas_rollout import make_point_rollout
+
+            cfg.mppi.kp_suction = float(cfg.kp_suction)  # for the pull cost
+            self.motion_planner.rollout_override = make_point_rollout(
+                self.env.params,
+                cfg.mppi,
+                self.motion_planner.K,
+                self.motion_planner.T,
+                bool(cfg.multi_modal),
+            )
+
         self.mppi_state = self.motion_planner.init_state()
         self.suction_active = int(cfg.suction_active)
         self.top_trajs = None

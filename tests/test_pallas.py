@@ -31,3 +31,36 @@ def test_multimodal_weights_matches_jax_path():
     for r, g in zip(ref, got):
         assert np.allclose(np.asarray(r), np.asarray(g), atol=1e-6)
         assert abs(float(jnp.sum(g)) - 1.0) < 1e-5
+
+
+@pytest.mark.skipif(not pallas_available(), reason="needs a TPU backend")
+def test_fused_rollout_matches_xla_path():
+    """The fused point-env rollout kernel (ops/pallas_rollout.py) must match
+    the XLA scan-of-vmapped-step rollout on costs and trajectories."""
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_point", ["task=push_pull", "multi_modal=True", "goal=[-3.75,-3.75]"]
+    )
+    tamp = ReactiveTAMP(cfg)
+    mp = tamp.motion_planner
+    assert mp.rollout_override is not None
+
+    state = tamp.env.init_state().replace(
+        q=jnp.asarray([-0.3, 1.4]), qd=jnp.asarray([0.5, 0.5])
+    )
+    tp = tamp.tamp_interface(state)
+    K, T = mp.K, mp.T
+    sK = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), state
+    )
+    rng = np.random.default_rng(0)
+    acts = jnp.asarray(rng.uniform(-3, 3, size=(K, T, 2)).astype(np.float32))
+
+    ov = mp.rollout_override
+    mp.rollout_override = None
+    ch_ref, tps_ref = jax.jit(lambda s, a: mp._rollout(s, a, tp))(sK, acts)
+    ch_pl, tps_pl = jax.jit(lambda s, a: ov(s, a, tp))(sK, acts)
+    assert np.allclose(np.asarray(ch_ref), np.asarray(ch_pl), atol=1e-3)
+    assert np.allclose(np.asarray(tps_ref), np.asarray(tps_pl), atol=1e-4)
