@@ -302,6 +302,14 @@ def step(
         else:
             qd_target = u_target  # world-frame dof velocities (point/heijn)
         qd = qd_target + (qd - qd_target) * decay  # exact 1st-order vel drive
+        # cap robot speed so one substep can never out-run the contact
+        # envelope (radius + wall half-thickness) — suction forces (up to
+        # 500 N, skill_utils.py:92) could otherwise tunnel the robot through
+        # the arena-corner wall junction (PhysX equivalently enforces
+        # maxLinearVelocity)
+        qspeed = jnp.linalg.norm(qd[:2])
+        qcap = jnp.minimum(1.0, 6.0 / jnp.maximum(qspeed, 1e-9))
+        qd = qd.at[:2].multiply(qcap)
         dvel = dvel + ext.dyn * (params.dyn_inv_mass[:, None] * h)
         dvel, dom = pbd2d.ground_friction(
             dvel, dom, params.dyn_mu_ground, GRAVITY, h,

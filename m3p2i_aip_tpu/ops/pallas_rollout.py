@@ -18,7 +18,6 @@ static boxes are unrolled in Python (both are tiny and static).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +26,8 @@ import numpy as np
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    _HAS_PALLAS = True
 except ImportError:  # pragma: no cover
-    _HAS_PALLAS = False
+    pl = pltpu = None
 
 from m3p2i_aip_tpu.ops.pallas_kernels import pallas_available
 
@@ -185,7 +182,7 @@ def _corner_pens(cx, cy, cc, cs, hxa, hya, bx, by, bc, bs, hxb, hyb):
 
 
 def _rollout_kernel(
-    task_ref,  # SMEM [4]: task_id, goal_x, goal_y, suction_static
+    task_ref,  # SMEM [3]: task_id, goal_x, goal_y
     acts_ref,  # VMEM [T, 2, Kp]
     state_ref,  # VMEM [4 + 6D, Kp]
     cost_ref,  # VMEM out [T, Kp]
@@ -201,10 +198,10 @@ def _rollout_kernel(
     wm_r = 1.0 / P["robot_mass"]
     rr = P["robot_radius"]
 
-    task_id = task_ref[0]
+    # clip like the XLA dispatch (cost_functions.py lax.switch clip)
+    task_id = jnp.clip(task_ref[0], 0.0, 3.0)
     gx = task_ref[1]
     gy = task_ref[2]
-    suction_static = task_ref[3]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
     mode1 = (col >= P["half_K"]) & (col < P["K"])  # second-half samples
@@ -238,7 +235,6 @@ def _rollout_kernel(
         # MPPI._command_halton's `u_scale * act_seq` at the _rollout boundary)
         ux = acts_ref[t, 0:1, :]
         uy = acts_ref[t, 1:2, :]
-        _ = None
         f_obs_x = jnp.zeros((1, Kp), jnp.float32)
         f_obs_y = jnp.zeros((1, Kp), jnp.float32)
 
@@ -278,7 +274,10 @@ def _rollout_kernel(
             qy = qy + qdy * h
 
             for _ in range(P["pos_iters"]):
-                # pass 1: robot circle vs each dynamic box
+                # pass 1: robot circle vs each dynamic box — Jacobi: all D
+                # contacts evaluated from the PRE-pass robot pose, summed
+                # corrections applied after (point_env.step pass 1 semantics)
+                dqx = dqy = dqdx = dqdy = 0.0
                 for i in range(D):
                     x, y, yaw, vx, vy, om = dp[i]
                     c, s = jnp.cos(yaw), jnp.sin(yaw)
@@ -291,8 +290,8 @@ def _rollout_kernel(
                         x, y, vx, vy, om, P["inv_mass"][i], P["inv_inertia"][i],
                         h, (P["robot_friction"] + P["friction"][i]) / 2, 1.0,
                     )
-                    qx, qy = qx + out[0], qy + out[1]
-                    qdx, qdy = qdx + out[3], qdy + out[4]
+                    dqx, dqy = dqx + out[0], dqy + out[1]
+                    dqdx, dqdy = dqdx + out[3], dqdy + out[4]
                     dp[i] = [
                         x + out[6], y + out[7], yaw + out[8],
                         vx + out[9], vy + out[10], om + out[11],
@@ -300,6 +299,8 @@ def _rollout_kernel(
                     if i == obs:
                         f_obs_x = f_obs_x - out[12]
                         f_obs_y = f_obs_y - out[13]
+                qx, qy = qx + dqx, qy + dqy
+                qdx, qdy = qdx + dqdx, qdy + dqdy
 
                 # pass 2: dynamic vs dynamic (corners of i in j), Jacobi
                 if D > 1:
@@ -352,9 +353,12 @@ def _rollout_kernel(
 
                 # pass 3: dynamic boxes vs static boxes (full strength,
                 # per-corner corrections normalized by active-corner count)
+                # — Jacobi: all S x 4 contacts from the pre-pass box pose,
+                # summed corrections applied after (point_env.step pass 3)
                 for i in range(D):
                     x, y, yaw, vx, vy, om = dp[i]
                     ci, si = jnp.cos(yaw), jnp.sin(yaw)
+                    ddx = ddy = ddyaw = ddvx = ddvy = ddom = 0.0
                     for s_i in range(S):
                         sxc, syc, syaw = P["stat"][s_i]
                         sc, ss = float(np.cos(syaw)), float(np.sin(syaw))
@@ -375,14 +379,16 @@ def _rollout_kernel(
                                 (P["friction"][i] + P["stat_friction"][s_i]) / 2,
                                 relax,
                             )
-                            x, y, yaw = x + out[0], y + out[1], yaw + out[2]
-                            vx, vy, om = vx + out[3], vy + out[4], om + out[5]
+                            ddx, ddy, ddyaw = ddx + out[0], ddy + out[1], ddyaw + out[2]
+                            ddvx, ddvy, ddom = ddvx + out[3], ddvy + out[4], ddom + out[5]
                             if i == obs:
                                 f_obs_x = f_obs_x + out[12]
                                 f_obs_y = f_obs_y + out[13]
-                    dp[i] = [x, y, yaw, vx, vy, om]
+                    dp[i] = [x + ddx, y + ddy, yaw + ddyaw,
+                             vx + ddvx, vy + ddvy, om + ddom]
 
-                # pass 4: robot circle vs static boxes
+                # pass 4: robot circle vs static boxes — Jacobi across S
+                dqx = dqy = dqdx = dqdy = 0.0
                 for s_i in range(S):
                     sxc, syc, syaw = P["stat"][s_i]
                     sc, ss = float(np.cos(syaw)), float(np.sin(syaw))
@@ -396,10 +402,13 @@ def _rollout_kernel(
                         sxc, syc, 0.0, 0.0, 0.0, 0.0, 0.0,
                         h, (P["robot_friction"] + P["stat_friction"][s_i]) / 2, 1.0,
                     )
-                    qx, qy = qx + out[0], qy + out[1]
-                    qdx, qdy = qdx + out[3], qdy + out[4]
+                    dqx, dqy = dqx + out[0], dqy + out[1]
+                    dqdx, dqdy = dqdx + out[3], dqdy + out[4]
+                qx, qy = qx + dqx, qy + dqy
+                qdx, qdy = qdx + dqdx, qdy + dqdy
 
-                # pass 5: robot vs dynamic again, dynamic body immovable
+                # pass 5: robot vs dynamic again (immovable) — Jacobi across D
+                dqx = dqy = dqdx = dqdy = 0.0
                 for i in range(D):
                     x, y, yaw, vx, vy, om = dp[i]
                     c, s = jnp.cos(yaw), jnp.sin(yaw)
@@ -412,8 +421,10 @@ def _rollout_kernel(
                         x, y, vx, vy, om, 0.0, 0.0,
                         h, 0.0, 1.0,
                     )
-                    qx, qy = qx + out[0], qy + out[1]
-                    qdx, qdy = qdx + out[3], qdy + out[4]
+                    dqx, dqy = dqx + out[0], dqy + out[1]
+                    dqdx, dqdy = dqdx + out[3], dqdy + out[4]
+                qx, qy = qx + dqx, qy + dqy
+                qdx, qdy = qdx + dqdx, qdy + dqdy
 
         # ------------------------------------------------------------- cost
         # (parity: PointObjective.compute; mode flag = second half of K)
@@ -482,7 +493,7 @@ def _rollout_kernel(
     )
 
 
-def make_point_rollout(env_params, mppi_cfg, K: int, T: int, multi_modal: bool):
+def make_point_rollout(env_params, kp_suction: float, K: int, T: int, multi_modal: bool):
     """Build the fused rollout callable for a point-robot scene.
 
     Returns ``rollout(sim_state_k, acts, task) -> (cost_horizon [K, T],
@@ -533,7 +544,7 @@ def make_point_rollout(env_params, mppi_cfg, K: int, T: int, multi_modal: bool):
         box_slot=box_slot,
         dynobs_slot=dynobs_slot,
         multi_modal=bool(multi_modal),
-        kp_suction=float(getattr(mppi_cfg, "kp_suction", 400.0)),
+        kp_suction=float(kp_suction),
     )
     Kp = _round_up(K, 128)
 
@@ -577,8 +588,7 @@ def make_point_rollout(env_params, mppi_cfg, K: int, T: int, multi_modal: bool):
         acts_p = acts_p.at[:, :, :K].set(jnp.swapaxes(acts_t, 1, 2))
 
         task_vec = jnp.stack(
-            [task.task_id.astype(jnp.float32), task.goal[0], task.goal[1],
-             jnp.float32(0.0)]
+            [task.task_id.astype(jnp.float32), task.goal[0], task.goal[1]]
         )
 
         cost, tx, ty = call(task_vec, acts_p, state_packed)

@@ -263,10 +263,21 @@ class MPPI:
         from m3p2i_aip_tpu.ops.pallas_kernels import pallas_available
 
         self.use_pallas = pallas_available() and getattr(mcfg, "use_pallas", True)
-        # Optional fused rollout (ops/pallas_rollout.py): signature matches
-        # _rollout — (sim_state_k, scaled_acts, task) -> (cost_horizon, tps).
+        # Optional fused rollout (ops/pallas_rollout.py): set via
+        # set_rollout_override, NOT by assigning the attribute — the value is
+        # captured at jit trace time of `command`.
         self.rollout_override = None
         self.mesh = None  # optional device mesh; see parallel/mesh.py
+        self._command = jax.jit(self._command_impl)
+
+    def set_rollout_override(self, fn) -> None:
+        """Install/remove a fused rollout (re-jits: the override is baked
+        into the compiled ``command``).  ``fn(sim_state_k, scaled_acts, task)
+        -> (cost_horizon [K, T], traj_points [K, T, d])``; fused rollouts
+        assume all K start states are identical (the planner broadcasts the
+        real state — reactive_tamp.py:45-48 parity), unlike the generic
+        per-sample-state `_rollout` contract."""
+        self.rollout_override = fn
         self._command = jax.jit(self._command_impl)
 
     def set_mesh(self, mesh) -> None:

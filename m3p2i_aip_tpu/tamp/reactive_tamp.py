@@ -68,13 +68,14 @@ class ReactiveTAMP:
         if self.env.env_type == "point_env" and self.motion_planner.use_pallas:
             from m3p2i_aip_tpu.ops.pallas_rollout import make_point_rollout
 
-            cfg.mppi.kp_suction = float(cfg.kp_suction)  # for the pull cost
-            self.motion_planner.rollout_override = make_point_rollout(
-                self.env.params,
-                cfg.mppi,
-                self.motion_planner.K,
-                self.motion_planner.T,
-                bool(cfg.multi_modal),
+            self.motion_planner.set_rollout_override(
+                make_point_rollout(
+                    self.env.params,
+                    float(cfg.kp_suction),
+                    self.motion_planner.K,
+                    self.motion_planner.T,
+                    bool(cfg.multi_modal),
+                )
             )
 
         self.mppi_state = self.motion_planner.init_state()
