@@ -458,7 +458,20 @@ def _rollout_kernel(
         s_rx = jnp.where(off, 0.0, -fx)
         s_ry = jnp.where(off, 0.0, -fy)
         vel_cost = jnp.where(towards & (d_rb <= 0.5), 0.6, 0.0)
-        pull = 3.0 * dist_cost + 3.0 * vel_cost + 7.0 * jnp.maximum(-cos_theta, 0.0)
+        # wall-crush penalty (extension, mirrors PointObjective._wall_crush):
+        # max robot-circle penetration into the statics
+        crush_pen = jnp.full((1, Kp), -1e9, jnp.float32)
+        for s_i in range(S):
+            sxc, syc, syaw = P["stat"][s_i]
+            sc, ss = float(np.cos(syaw)), float(np.sin(syaw))
+            penw, _, _, _, _ = _circle_vs_obb(
+                qx, qy, rr, sxc, syc, sc, ss,
+                P["stat_half"][s_i][0], P["stat_half"][s_i][1],
+            )
+            crush_pen = jnp.maximum(crush_pen, penw)
+        crush = jnp.where(crush_pen > 0.02, 1000.0, 0.0)
+        pull = (3.0 * dist_cost + 3.0 * vel_cost
+                + 7.0 * jnp.maximum(-cos_theta, 0.0) + crush)
 
         pp = jnp.where(mode1, pull, push)
 

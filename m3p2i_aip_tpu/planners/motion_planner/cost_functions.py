@@ -83,6 +83,26 @@ class PointObjective:
         align = jnp.maximum(cos_theta, 0.0)  # (cost_functions.py:57-58)
         return 3.0 * dist_cost + 1.0 * align
 
+    def _wall_crush(self, state):
+        """Max penetration of the robot circle into the static geometry.
+
+        Extension (not in the reference): pulling a box into a zero-clearance
+        wall pocket forces the robot into the wall — a physically impossible
+        plan that PhysX would reject via contact forces.  Penalizing it in
+        the pull cost makes the M3P2I arbitration prefer push near walls.
+        """
+        from m3p2i_aip_tpu.sim import pbd2d
+
+        S = self.params.stat_pos.shape[0]
+        c = pbd2d.circle_vs_obb(
+            jnp.broadcast_to(state.q[:2], (S, 2)),
+            self.params.robot_radius,
+            self.params.stat_pos,
+            self.params.stat_yaw,
+            self.params.stat_half,
+        )
+        return jnp.max(c.pen)
+
     def _pull(self, state, goal, mode):
         dist_cost, cos_theta, block_pos, d_rb = self._dist_terms(state, goal)
         pos_dir = block_pos - state.q[:2]
@@ -101,7 +121,8 @@ class PointObjective:
 
         align = jnp.maximum(-cos_theta, 0.0)  # (cost_functions.py:81-82)
         vel_cost = jnp.where(towards_block & (d_rb <= 0.5), 0.6, 0.0)
-        cost = 3.0 * dist_cost + 3.0 * vel_cost + 7.0 * align
+        crush = jnp.where(self._wall_crush(state) > 0.02, 1000.0, 0.0)
+        cost = 3.0 * dist_cost + 3.0 * vel_cost + 7.0 * align + crush
 
         D = self.params.dyn_half.shape[0]
         ext = pe.PointExtForces(
