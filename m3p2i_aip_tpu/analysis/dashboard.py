@@ -39,8 +39,14 @@ _PAGE = """<!DOCTYPE html>
 class Dashboard:
     """Serve live metrics on http://localhost:<port> (default 8040)."""
 
-    def __init__(self, port: int = 8040, battery_csv: Optional[str] = None):
+    def __init__(
+        self,
+        port: int = 8040,
+        battery_csv: Optional[str] = None,
+        host: str = "127.0.0.1",
+    ):
         self.port = port
+        self.host = host
         self.battery_csv = battery_csv
         self._metrics = {"battery": 100.0}
         self._lock = threading.Lock()
@@ -97,7 +103,7 @@ class Dashboard:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self._server = ThreadingHTTPServer(("0.0.0.0", self.port), Handler)
+        self._server = ThreadingHTTPServer((self.host, self.port), Handler)
         t = threading.Thread(target=self._server.serve_forever, daemon=True)
         t.start()
         return self

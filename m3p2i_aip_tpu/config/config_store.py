@@ -123,7 +123,15 @@ def load_config(config_name: str = "config_point", overrides=None) -> ExampleCon
         if ov.startswith("-"):
             continue
         key, _, raw = ov.partition("=")
-        _set_dotted(cfg, key.strip(), _coerce(raw.strip()))
+        key, raw = key.strip(), raw.strip()
+        if key in _GROUP_SCHEMAS:
+            # hydra group selection (e.g. ``mppi=panda_parity`` picks
+            # config/mppi/panda_parity.yaml), same grammar as the defaults list
+            data = _load_group_yaml(key, raw)
+            data.pop("defaults", None)
+            _apply_dict(getattr(cfg, key), data)
+        else:
+            _set_dotted(cfg, key, _coerce(raw))
     return cfg
 
 

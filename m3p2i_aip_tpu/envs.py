@@ -54,6 +54,8 @@ def make_env(cfg) -> Env:
         return _make_point_env(cfg, actors)
     if cfg.env_type == "panda_env":
         return _make_panda_env(cfg, actors)
+    if cfg.env_type == "albert_env":
+        return _make_albert_env(cfg, actors)
     raise ValueError(f"unknown env_type {cfg.env_type!r}")
 
 
@@ -134,6 +136,58 @@ def _make_point_env(cfg, actors) -> Env:
         traj_point=lambda s: s.q[:2],
         actor_names=params.actor_names,
         dyn_obs_slot=dynobs_slot,
+    )
+
+
+def _make_albert_env(cfg, actors) -> Env:
+    """Albert mobile manipulator (models/albert.py): boxer base + panda arm.
+
+    The reference ships only the asset (assets/urdf/albert/albert.urdf) with
+    no scene/task config; this scene makes the model runnable end-to-end —
+    the ``ee_reach`` task drives base AND arm so the end effector reaches a
+    3D goal the arm alone cannot.
+    """
+    from m3p2i_aip_tpu.models import albert
+
+    params = albert.build_params(actors, cfg.sim)
+
+    def view_vec(state):
+        """[base_pose(3), base_vel(3), ee_pos(3)] in one device array."""
+        ee_pos, _ = albert.fk(state)["ee"]
+        return jnp.concatenate([state.q[:3], state.qd[:3], ee_pos])
+
+    def view_unpack(vec) -> dict:
+        vec = np.asarray(vec)
+        return {
+            "robot_pos": vec[0:2],
+            "robot_yaw": float(vec[2]),
+            "robot_vel": vec[3:5],
+            "ee_pos": vec[6:9],
+        }
+
+    def view(state):
+        return view_unpack(view_vec(state))
+
+    root = jnp.zeros((1, 13)).at[0, 6].set(1.0)
+
+    return Env(
+        env_type="albert_env",
+        params=params,
+        nu=13,
+        nx=24,
+        step=lambda s, u, e: albert.step(params, s, u),
+        init_state=lambda: albert.init_state(params),
+        zero_ext=lambda: jnp.zeros(0),
+        dof_state_view=albert.dof_state_view,
+        load_dof_state=albert.load_dof_state,
+        root_state_view=lambda s: root,
+        load_root_state=lambda s, r: s,
+        view=view,
+        view_vec=view_vec,
+        view_unpack=view_unpack,
+        traj_point=lambda s: s.q[:2],
+        actor_names=params.actor_names,
+        dyn_obs_slot=-1,
     )
 
 

@@ -37,15 +37,44 @@ class AlbertState:
 
 @struct.dataclass
 class AlbertParams:
+    init_q: jnp.ndarray = struct.field(
+        default=None
+    )  # [12] base pose (3) + arm (7) + fingers (2)
     dt: float = struct.field(pytree_node=False, default=0.05)
     substeps: int = struct.field(pytree_node=False, default=2)
     drive_rate: float = struct.field(pytree_node=False, default=60.0)
+    actor_names: tuple = struct.field(pytree_node=False, default=("albert",))
 
 
-def init_state() -> AlbertState:
+_REST_ARM = np.asarray([0, 0, 0, -2, 0, 1.8675, 0, 0.02, 0.02], np.float32)
+
+
+def build_params(actors, sim_cfg) -> AlbertParams:
+    """Scene params from the albert_env actor YAMLs (ActorCfg schema)."""
+    init_q = np.zeros(12, dtype=np.float32)
+    init_q[3:12] = _REST_ARM
+    names = []
+    for a in actors:
+        names.append(a.name)
+        if a.type == "robot":
+            init_q[0:2] = np.asarray(a.init_pos[:2], np.float32)
+            if a.init_joint_pose:
+                # interleaved (pos, vel) 24-vector, like the panda convention
+                init_q = np.asarray(a.init_joint_pose, np.float32)[0::2]
+    return AlbertParams(
+        init_q=jnp.asarray(init_q),
+        dt=sim_cfg.dt,
+        substeps=sim_cfg.substeps,
+        actor_names=tuple(names),
+    )
+
+
+def init_state(params: AlbertParams = None) -> AlbertState:
+    if params is not None and params.init_q is not None:
+        return AlbertState(q=params.init_q, qd=jnp.zeros(12))
     q = jnp.zeros(12)
     # reference panda rest pose for the arm portion
-    q = q.at[3:12].set(jnp.asarray([0, 0, 0, -2, 0, 1.8675, 0, 0.02, 0.02]))
+    q = q.at[3:12].set(jnp.asarray(_REST_ARM))
     return AlbertState(q=q, qd=jnp.zeros(12))
 
 
@@ -69,6 +98,18 @@ def step(params: AlbertParams, state: AlbertState, u: jnp.ndarray) -> AlbertStat
         q = q + qd * h
         q = q.at[3:12].set(jnp.clip(q[3:12], arm_lower, arm_upper))
     return state.replace(q=q, qd=qd)
+
+
+def dof_state_view(state: AlbertState) -> jnp.ndarray:
+    """Interleaved [q0, qd0, ...] — 24 floats (panda convention)."""
+    return jnp.stack([state.q, state.qd], axis=-1).reshape(
+        state.q.shape[:-1] + (24,)
+    )
+
+
+def load_dof_state(state: AlbertState, dof: jnp.ndarray) -> AlbertState:
+    pairs = dof.reshape(dof.shape[:-1] + (12, 2))
+    return state.replace(q=pairs[..., 0], qd=pairs[..., 1])
 
 
 def fk(state: AlbertState):

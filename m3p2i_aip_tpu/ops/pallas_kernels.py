@@ -94,11 +94,14 @@ def multimodal_weights_pallas(
     half_K: int,
     eta_u: float = 10.0,
     eta_l: float = 3.0,
+    interpret: bool = False,
 ):
     """Fused (w_mode0, w_mode1, w_global) from [K, T] rollout costs.
 
     Drop-in for MPPI._multi_modal_exp_util's three masked adaptive-beta
     softmaxes (m3p2i.py:46-64 semantics).  Returns three [K] weight vectors.
+    ``interpret=True`` runs the kernel through the Pallas interpreter so the
+    CPU suite can check kernel-vs-XLA parity without a TPU.
     """
     K, T = cost_horizon.shape
     Kp, Tp = _round_up(K, 128), _round_up(T, 8)
@@ -110,10 +113,14 @@ def multimodal_weights_pallas(
         gamma_seq.astype(jnp.float32)
     )
 
+    # named closure, NOT functools.partial — a partial's repr embeds a memory
+    # address, destabilizing the persistent-compilation-cache key across
+    # processes (see pallas_rollout.py)
+    def weights_kernel(*refs):
+        return _weights_kernel(*refs, K=K, half_K=half_K, eta_u=eta_u, eta_l=eta_l)
+
     out = pl.pallas_call(
-        partial(
-            _weights_kernel, K=K, half_K=half_K, eta_u=eta_u, eta_l=eta_l
-        ),
+        weights_kernel,
         out_shape=jax.ShapeDtypeStruct((3, Kp), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -125,6 +132,7 @@ def multimodal_weights_pallas(
             bytes_accessed=Kp * Tp * 4 + 3 * Kp * 4,
             transcendentals=3 * _BETA_ITERS * Kp,
         ),
+        interpret=interpret,
     )(cost_p, gamma_p)
     return out[0, :K], out[1, :K], out[2, :K]
 

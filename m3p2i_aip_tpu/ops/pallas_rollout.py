@@ -244,6 +244,13 @@ def _rollout_kernel(
             qdy = qdy + ext_ry * (wm_r * h)
             qdx = ux + (qdx - ux) * decay
             qdy = uy + (qdy - uy) * decay
+            # robot speed cap (point_env.py:310-312): without it ±500 N
+            # suction forces can tunnel the robot through wall junctions,
+            # letting the planner pick physically impossible pull plans
+            qsp = jnp.sqrt(qdx * qdx + qdy * qdy)
+            qcap = jnp.minimum(1.0, 6.0 / jnp.maximum(qsp, 1e-9))
+            qdx = qdx * qcap
+            qdy = qdy * qcap
             for i in range(D):
                 x, y, yaw, vx, vy, om = dp[i]
                 if i == box:
@@ -506,7 +513,14 @@ def _rollout_kernel(
     )
 
 
-def make_point_rollout(env_params, kp_suction: float, K: int, T: int, multi_modal: bool):
+def make_point_rollout(
+    env_params,
+    kp_suction: float,
+    K: int,
+    T: int,
+    multi_modal: bool,
+    interpret: bool = False,
+):
     """Build the fused rollout callable for a point-robot scene.
 
     Returns ``rollout(sim_state_k, acts, task) -> (cost_horizon [K, T],
@@ -514,8 +528,11 @@ def make_point_rollout(env_params, kp_suction: float, K: int, T: int, multi_moda
     already u_scale-scaled).  All K rollouts must start from the same state
     (the planner broadcasts the real state, reactive_tamp.py:45-48 parity).
     Returns None when Pallas/TPU or the scene shape is unsupported.
+    ``interpret=True`` builds the kernel for the Pallas interpreter so the
+    CPU suite can check kernel-vs-XLA cost/trajectory parity without a TPU
+    (single-sources the drift check the TPU-gated tests otherwise own).
     """
-    if not (pallas_available() and env_params.robot_type == "point"):
+    if not ((pallas_available() or interpret) and env_params.robot_type == "point"):
         return None
 
     D = int(env_params.dyn_half.shape[0])
@@ -561,9 +578,15 @@ def make_point_rollout(env_params, kp_suction: float, K: int, T: int, multi_moda
     )
     Kp = _round_up(K, 128)
 
-    kernel = functools.partial(_rollout_kernel, P=P)
+    # a NAMED closure, not functools.partial: pallas derives the kernel /
+    # mosaic module name from the callable, and a partial stringifies with
+    # its memory address — which made the persistent-compilation-cache key
+    # unstable across processes (every run recompiled the fused tick)
+    def point_rollout_kernel(*refs):
+        return _rollout_kernel(*refs, P=P)
+
     call = pl.pallas_call(
-        kernel,
+        point_rollout_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((T, Kp), jnp.float32),
             jax.ShapeDtypeStruct((T, Kp), jnp.float32),
@@ -579,6 +602,7 @@ def make_point_rollout(env_params, kp_suction: float, K: int, T: int, multi_moda
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        interpret=interpret,
     )
 
     def rollout(sim_state_k, acts, task):

@@ -252,3 +252,29 @@ class PandaObjective:
         idx = jnp.clip(task.task_id - 4, 0, 2)
         cost = jax.lax.switch(idx, [reach, pick, place], None)
         return cost, ext
+
+
+class AlbertObjective:
+    """ee_reach / navigation costs for the albert mobile manipulator.
+
+    No reference equivalent (the reference ships only the albert asset,
+    assets/urdf/albert/albert.urdf); the ``ee_reach`` task demands coordinated
+    base + arm motion: drive the end effector to a 3D goal the arm alone
+    cannot span from the start pose.
+    """
+
+    def __init__(self, params, cfg):
+        self.params = params
+
+    def compute(self, state, u, task: TaskParams, mode):
+        from m3p2i_aip_tpu.models import albert
+
+        ee_pos, _ = albert.fk(state)["ee"]
+        ee_cost = 10.0 * jnp.linalg.norm(ee_pos - task.goal[:3])
+        nav_cost = jnp.linalg.norm(state.q[:2] - task.goal[:2])
+        # base-progress shaping: ranks wheel samples independently of arm
+        # noise (the EE term alone lets arm wiggle drown the wheel signal,
+        # deadlocking the diff-drive base on the null-action sample)
+        base_cost = 3.0 * jnp.linalg.norm(state.q[:2] - task.goal[:2])
+        cost = jnp.where(task.task_id == 7, ee_cost + base_cost, nav_cost)
+        return cost, jnp.zeros(0)

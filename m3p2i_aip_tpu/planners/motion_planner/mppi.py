@@ -56,6 +56,10 @@ class MPPIConfig:
     noise_mu: Optional[List[float]] = None
     device: str = "tpu"
     lambda_: float = 1.0
+    # Accepted for YAML schema parity but intentionally ignored: the
+    # reference declares it and never reads it either (its lambda adaptation
+    # was never implemented — mppi.py:42 and the orphaned lambda_mult at
+    # :198 are dead upstream).
     update_lambda: bool = False
     update_cov: bool = False
     u_min: Optional[List[float]] = None
@@ -112,6 +116,7 @@ TASK_IDS = {
     "reach": 4,
     "pick": 5,
     "place": 6,
+    "ee_reach": 7,  # albert mobile manipulation (no reference equivalent)
     # non-planning tasks map to a safe default cost (the reference degrades
     # to motion-cost-only for unknown tasks, cost_functions.py:19-36)
     "idle": 0,

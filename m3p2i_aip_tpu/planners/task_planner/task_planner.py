@@ -26,7 +26,7 @@ from m3p2i_aip_tpu.ops import general_ori_cube2goal
 
 def set_task_planner(cfg):
     """Dispatch on env type. Parity: task_planner.set_task_planner:7-11."""
-    if cfg.env_type in ("point_env", "heijn_env", "boxer_env"):
+    if cfg.env_type in ("point_env", "heijn_env", "boxer_env", "albert_env"):
         return PLANNER_SIMPLE(cfg)
     return PLANNER_AIF_PANDA(cfg)
 
@@ -55,6 +55,11 @@ class PLANNER_SIMPLE:
             return bool(
                 np.linalg.norm(np.asarray(view["box_pos"]) - self.curr_goal[:2])
                 <= self.dist_threshold
+            )
+        if self.task == "ee_reach":  # albert: end effector at a 3D goal
+            return bool(
+                np.linalg.norm(np.asarray(view["ee_pos"]) - self.curr_goal[:3])
+                < self.dist_threshold
             )
         return False
 

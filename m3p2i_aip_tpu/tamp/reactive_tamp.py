@@ -52,6 +52,8 @@ class ReactiveTAMP:
 
         if self.env.env_type == "point_env":  # incl. heijn/boxer robot variants
             self.objective = cost_functions.PointObjective(self.env.params, cfg)
+        elif self.env.env_type == "albert_env":
+            self.objective = cost_functions.AlbertObjective(self.env.params, cfg)
         else:
             self.objective = cost_functions.PandaObjective(self.env.params, cfg)
 
@@ -72,6 +74,18 @@ class ReactiveTAMP:
                 make_point_rollout(
                     self.env.params,
                     float(cfg.kp_suction),
+                    self.motion_planner.K,
+                    self.motion_planner.T,
+                    bool(cfg.multi_modal),
+                )
+            )
+        elif self.env.env_type == "panda_env" and self.motion_planner.use_pallas:
+            from m3p2i_aip_tpu.ops.pallas_panda_rollout import make_panda_rollout
+
+            self.motion_planner.set_rollout_override(
+                make_panda_rollout(
+                    self.env.params,
+                    cfg,
                     self.motion_planner.K,
                     self.motion_planner.T,
                     bool(cfg.multi_modal),
@@ -203,11 +217,14 @@ class ReactiveTAMP:
         ONE dispatch and ONE small device->host transfer.
         """
         real_state = update_dyn_obs_device(self.env, real_state, i)
+        pre_state = mppi_state  # pre-command weights drive the arbitration:
+        # the reference computes get_pull_preference in tamp_interface BEFORE
+        # motion_planner.command (reactive_tamp.py:75-81)
         action_seq, mppi_state, aux = self.motion_planner._command_impl(
             mppi_state, real_state, task
         )
         action = action_seq[0]
-        ext = self._suction_ext_device(mppi_state, real_state, task, action)
+        ext = self._suction_ext_device(pre_state, real_state, task, action)
         real_state = self.env.step(real_state, action, ext)
         return action, mppi_state, real_state, self.env.view_vec(real_state)
 
@@ -225,9 +242,10 @@ class ReactiveTAMP:
         def body(carry, k):
             ms, rs = carry
             rs = update_dyn_obs_device(self.env, rs, i0 + k)
+            pre_ms = ms  # pre-command weights, as in _tick_fused_impl
             action_seq, ms, aux = self.motion_planner._command_impl(ms, rs, task)
             action = action_seq[0]
-            ext = self._suction_ext_device(ms, rs, task, action)
+            ext = self._suction_ext_device(pre_ms, rs, task, action)
             rs = self.env.step(rs, action, ext)
             return (ms, rs), self.env.view_vec(rs)
 

@@ -56,6 +56,10 @@ def save_checkpoint(path: str, tamp, sim_state) -> str:
     blobs["host_json"] = np.frombuffer(
         json.dumps(host).encode(), dtype=np.uint8
     )
+    # np.savez appends '.npz' itself when missing; normalize so the returned
+    # path always names the file that exists (and round-trips to load).
+    if not str(path).endswith(".npz"):
+        path = f"{path}.npz"
     np.savez(path, **blobs)
     return path
 

@@ -57,11 +57,28 @@ def _recv_message(sock: socket.socket):
     return header, blobs
 
 
-class Server:
-    """Serve an object's methods. Parity: zerorpc.Server (reactive_tamp.py:92-94)."""
+# Only the reference's RPC surface is dispatchable (reactive_tamp.py:43-87);
+# anything else (dunder attributes, internal state) is rejected.
+_ALLOWED_METHODS = ("run_tamp", "get_suction", "get_trajs")
 
-    def __init__(self, obj, host: str = "0.0.0.0", port: int = 4242):
+
+class Server:
+    """Serve an object's methods. Parity: zerorpc.Server (reactive_tamp.py:92-94).
+
+    Binds localhost by default (the reference binds 0.0.0.0, but its two
+    processes always run on one host); pass ``host="0.0.0.0"`` explicitly for
+    a remote sim terminal.  Dispatch is restricted to ``_ALLOWED_METHODS``.
+    """
+
+    def __init__(
+        self,
+        obj,
+        host: str = "127.0.0.1",
+        port: int = 4242,
+        allowed_methods=_ALLOWED_METHODS,
+    ):
         self._obj = obj
+        self._allowed = frozenset(allowed_methods)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind((host, port))
@@ -88,7 +105,13 @@ class Server:
             if header.get("method") == "__shutdown__":
                 _send_message(conn, {"ok": True}, [])
                 return
-            method: Callable = getattr(self._obj, header["method"])
+            name = header["method"]
+            if name not in self._allowed:
+                _send_message(
+                    conn, {"ok": False, "error": f"method not allowed: {name}"}, []
+                )
+                continue
+            method: Callable = getattr(self._obj, name)
             args = [bytes_to_numpy(b) for b in blobs]
             result = method(*args)
             if isinstance(result, (int, float, bool)):
@@ -118,6 +141,8 @@ class Client:
             self._sock, {"method": method}, [array_to_bytes(a) for a in arrays]
         )
         header, blobs = _recv_message(self._sock)
+        if not header.get("ok", True):
+            raise RuntimeError(header.get("error", "rpc error"))
         if "scalar" in header:
             return header["scalar"]
         return bytes_to_numpy(blobs[0]) if blobs else None

@@ -22,9 +22,15 @@ from m3p2i_aip_tpu.utils import rpc
 
 
 def run_reactive_tamp(argv) -> None:
+    # localhost by default (the reference binds 0.0.0.0 — reactive_tamp.py:92 —
+    # but both terminals always run on one host); M3P2I_RPC_HOST=0.0.0.0 opts in
+    # to a remote sim terminal.
+    import os
+
+    host = os.environ.get("M3P2I_RPC_HOST", "127.0.0.1")
     cfg = load_config_from_argv(argv, default_config="config_point")
-    server = rpc.Server(ReactiveTAMPServer(cfg), "0.0.0.0", 4242)
-    print("planner listening on tcp://0.0.0.0:4242")
+    server = rpc.Server(ReactiveTAMPServer(cfg), host, 4242)
+    print(f"planner listening on tcp://{host}:4242")
     server.run()
 
 

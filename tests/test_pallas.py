@@ -1,8 +1,12 @@
-"""Pallas TPU kernel tests — skipped on CPU (Mosaic kernels need a real TPU).
+"""Pallas kernel parity tests.
 
-The golden check (kernel output == pure-JAX `_multi_modal_exp_util`) runs in
-CI only when a TPU backend is present; the CPU suite still covers the JAX
-reference path the kernel must match.
+Two tiers:
+- Mosaic (real-TPU) goldens — skipped on CPU;
+- interpret-mode goldens — run in the DEFAULT CPU suite via
+  ``pl.pallas_call(interpret=True)``, so any drift between the kernels'
+  cost/physics semantics and the XLA reference paths fails CI without a TPU
+  (single-sources the dual-maintenance risk: the wall-crush penalty once had
+  to be patched in two places, commit 393c90a).
 """
 import jax
 import jax.numpy as jnp
@@ -73,3 +77,187 @@ def test_fused_rollout_matches_xla_path():
         ch_pl, tps_pl = jax.jit(lambda s, a: ov(s, a, tp))(sK, acts)
         assert np.allclose(np.asarray(ch_ref), np.asarray(ch_pl), atol=1e-2), q0
         assert np.allclose(np.asarray(tps_ref), np.asarray(tps_pl), atol=1e-3), q0
+
+
+# ---------------------------------------------------------------------------
+# interpret-mode goldens: run on CPU in the default suite
+# ---------------------------------------------------------------------------
+
+def _build_tamp(K=32, T=12):
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_point",
+        [
+            "task=push_pull",
+            "multi_modal=True",
+            "goal=[-3.75,-3.75]",
+            f"mppi.num_samples={K}",
+            f"mppi.horizon={T}",
+            f"mppi.u_per_command={T}",
+        ],
+    )
+    return cfg, ReactiveTAMP(cfg)
+
+
+def test_multimodal_weights_interpret_matches_jax_cpu():
+    from m3p2i_aip_tpu.ops.pallas_kernels import multimodal_weights_pallas
+
+    _, tamp = _build_tamp()
+    mp = tamp.motion_planner
+    rng = np.random.default_rng(0)
+    ch = jnp.asarray(rng.uniform(0, 50, size=(mp.K, mp.T)).astype(np.float32))
+
+    mp.use_pallas = False
+    ref = jax.jit(mp._multi_modal_exp_util)(ch)
+    got = multimodal_weights_pallas(
+        ch, mp.gamma_seq, mp.half_K, 10.0, 3.0, interpret=True
+    )
+    for r, g in zip(ref, got):
+        assert np.allclose(np.asarray(r), np.asarray(g), atol=1e-6)
+        assert abs(float(jnp.sum(g)) - 1.0) < 1e-5
+
+
+@pytest.mark.slow
+def test_fused_rollout_interpret_matches_xla_cpu():
+    """Kernel-vs-XLA rollout parity on CPU (interpret mode).
+
+    Start states include the cases where the kernel's physics shortcuts
+    would diverge first: wall junction (multi-contact), box contact, and a
+    SUCTION-ACTIVE high-speed state where the ±500 N pull force hits the
+    6 m/s robot speed cap (point_env.py:310-312) — the cap the kernel
+    originally omitted (ADVICE round 1, high severity).
+    """
+    from m3p2i_aip_tpu.ops.pallas_rollout import make_point_rollout
+
+    cfg, tamp = _build_tamp()
+    mp = tamp.motion_planner
+    ov = make_point_rollout(
+        tamp.env.params, float(cfg.kp_suction), mp.K, mp.T,
+        bool(cfg.multi_modal), interpret=True,
+    )
+    assert ov is not None
+
+    K, T = mp.K, mp.T
+    rng = np.random.default_rng(0)
+    starts = [
+        # open space
+        (jnp.asarray([-0.3, 1.4]), jnp.asarray([0.5, 0.5])),
+        # arena wall junction, inbound fast (two simultaneous wall contacts)
+        (jnp.asarray([-3.7, -3.7]), jnp.asarray([-2.0, -2.0])),
+        # pressed against the box near the north wall
+        (jnp.asarray([-0.05, 1.75]), jnp.asarray([0.0, 2.0])),
+        # suction-active: adjacent to the box (box at [0, 2]) at 7 m/s —
+        # exercises the robot speed cap under pull forces
+        (jnp.asarray([0.0, 1.55]), jnp.asarray([0.0, 7.0])),
+        # corner sprint above the cap with suction range of nothing
+        (jnp.asarray([-3.3, -3.3]), jnp.asarray([-6.0, -6.0])),
+    ]
+    # compile ONCE; task/state/acts are traced args (interpret-mode compiles
+    # of the full rollout program are minutes each on CPU)
+    ref_fn = jax.jit(lambda s, a, t: mp._rollout(s, a, t))
+    pl_fn = jax.jit(lambda s, a, t: ov(s, a, t))
+    for q0, qd0 in starts:
+        state = tamp.env.init_state().replace(q=q0, qd=qd0)
+        tp = tamp.tamp_interface(state)
+        sK = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (K,) + x.shape), state
+        )
+        acts = jnp.asarray(rng.uniform(-3, 3, size=(K, T, 2)).astype(np.float32))
+
+        ch_ref, tps_ref = ref_fn(sK, acts, tp)
+        ch_pl, tps_pl = pl_fn(sK, acts, tp)
+        assert np.allclose(np.asarray(ch_ref), np.asarray(ch_pl), atol=1e-2), q0
+        assert np.allclose(np.asarray(tps_ref), np.asarray(tps_pl), atol=1e-3), q0
+
+
+@pytest.mark.slow
+def test_panda_rollout_interpret_matches_xla_cpu():
+    """Panda kernel-vs-XLA rollout parity on CPU (interpret mode).
+
+    Scenarios cover the kernel's riskiest transcriptions: FK + reach cost
+    (both grasp modes), grasp attach mid-rollout (gripper closing near the
+    cube), an already-attached cube under the pick cost (goal quat ori
+    cost + motion cost), tumbling free cube (nonzero angular velocity ->
+    rotation-matrix vs quaternion integration drift), and place.
+    """
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.ops.pallas_panda_rollout import make_panda_rollout
+    from m3p2i_aip_tpu.planners.motion_planner.mppi import TaskParams
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_panda",
+        ["mppi.num_samples=16", "mppi.horizon=4", "multi_modal=True"],
+    )
+    tamp = ReactiveTAMP(cfg)
+    mp = tamp.motion_planner
+    ov = make_panda_rollout(
+        tamp.env.params, cfg, mp.K, mp.T, bool(cfg.multi_modal), interpret=True
+    )
+    assert ov is not None
+    mp.rollout_override = None  # XLA reference path
+
+    K, T = mp.K, mp.T
+    rng = np.random.default_rng(1)
+    base = tamp.env.init_state()
+    goal_q = jnp.asarray([0.0, 0.0, 0.383, 0.924])
+    pick_goal = jnp.concatenate([jnp.asarray([0.4, 0.3, 1.3]), goal_q])
+
+    def tp(task_id, goal=None, gripper=0):
+        g = jnp.zeros(7) if goal is None else goal
+        return TaskParams(
+            task_id=jnp.asarray(task_id, jnp.int32),
+            goal=g.astype(jnp.float32),
+            gripper=jnp.asarray(gripper, jnp.int32),
+        )
+
+    # attached-cube state: cube welded 8 cm below the hand
+    attached = base.replace(
+        attached=jnp.asarray(1.0),
+        attach_pos=jnp.asarray([0.0, 0.0, 0.08]),
+        attach_rot=jnp.eye(3),
+    )
+    # tumbling free cube above the table
+    tumbling = base.replace(
+        body_pos=base.body_pos.at[1, 2].add(0.2),
+        body_om=base.body_om.at[1].set(jnp.asarray([2.0, -1.5, 3.0])),
+        body_vel=base.body_vel.at[1].set(jnp.asarray([0.2, -0.1, 0.0])),
+    )
+    # cubeA next to cubeB (cube-cube + probe contacts fire)
+    nearB = base.replace(
+        body_pos=base.body_pos.at[1].set(
+            base.body_pos[2] + jnp.asarray([0.06, 0.0, 0.0])
+        )
+    )
+
+    cases = [
+        (base, tp(4), 0.0),        # reach, both grasp modes
+        (base, tp(4), -1.5),       # reach with gripper closing -> attach fires
+        (attached, tp(5, pick_goal), -1.5),  # pick: ori + motion cost
+        (tumbling, tp(4), 0.0),    # rotmat-vs-quat integration drift bound
+        (nearB, tp(5, pick_goal), -1.5),     # contact forces -> motion cost
+        (attached, tp(6), 1.5),    # place: gripper opening -> detach
+    ]
+    # compile ONCE; task/state/acts are traced args (interpret-mode compiles
+    # of the full rollout program are minutes each on CPU)
+    ref_fn = jax.jit(lambda s, a, t: mp._rollout(s, a, t))
+    pl_fn = jax.jit(lambda s, a, t: ov(s, a, t))
+    for i, (state, task, grip) in enumerate(cases):
+        sK = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (K,) + x.shape), state
+        )
+        acts = jnp.asarray(
+            rng.uniform(-1.5, 1.5, size=(K, T, 9)).astype(np.float32)
+        )
+        if grip != 0.0:
+            acts = acts.at[..., 7:9].set(grip)
+        ch_ref, tps_ref = ref_fn(sK, acts, task)
+        ch_pl, tps_pl = pl_fn(sK, acts, task)
+        assert np.allclose(
+            np.asarray(ch_ref), np.asarray(ch_pl), atol=1e-2
+        ), (i, np.abs(np.asarray(ch_ref) - np.asarray(ch_pl)).max())
+        assert np.allclose(
+            np.asarray(tps_ref), np.asarray(tps_pl), atol=1e-3
+        ), i

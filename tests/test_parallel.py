@@ -58,3 +58,30 @@ def test_dryrun_multichip_hook():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_self_provisions():
+    """Replicate the driver: a clean subprocess with NO mesh env vars set.
+
+    dryrun_multichip must provision its own virtual 8-device mesh (the
+    round-1 driver check failed exactly here: rc=1 'need 8 devices, have 1').
+    """
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")
+    }
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout, out.stdout[-2000:]

@@ -42,6 +42,56 @@ def test_synthetic_chain_fk():
     assert np.allclose(np.asarray(tool_pos), [0.0, 1.4, 1.0], atol=1e-5)
 
 
+def _vendored_franka() -> str:
+    from m3p2i_aip_tpu.assets import ensure_assets
+
+    root = ensure_assets()
+    return str(root / "franka_description/robots/franka_panda.urdf")
+
+
+def _check_panda_fk_against(urdf_path: str, hand_link: str = "panda_hand"):
+    from m3p2i_aip_tpu.models import panda_fk
+
+    chain = load_chain(urdf_path, hand_link)
+    rng = np.random.default_rng(0)
+    lo = panda_fk.JOINT_LOWER[:7]
+    hi = panda_fk.JOINT_UPPER[:7]
+    for _ in range(5):
+        q7 = rng.uniform(lo, hi).astype(np.float32)
+        q9 = np.concatenate([q7, [0.02, 0.02]]).astype(np.float32)
+        native = panda_fk.fk(jnp.asarray(q9), jnp.zeros(3))
+        urdf_links = chain.fk(jnp.asarray(q7))
+        n_pos, n_rot = native["hand"]
+        u_pos, u_rot = urdf_links[hand_link]
+        assert np.allclose(np.asarray(n_pos), np.asarray(u_pos), atol=1e-5), (
+            n_pos,
+            u_pos,
+        )
+        assert np.allclose(np.asarray(n_rot), np.asarray(u_rot), atol=1e-5)
+
+
+def test_native_panda_fk_matches_vendored_urdf():
+    """Self-contained asset loop: the vendored (emitted) franka URDF drives
+    the URDF-FK path and must agree with the native matrix FK."""
+    _check_panda_fk_against(_vendored_franka())
+
+
+def test_vendored_urdfs_parse():
+    from m3p2i_aip_tpu.assets import ensure_assets
+
+    root = ensure_assets()
+    albert = chain_to(
+        parse_urdf(str(root / "albert/albert.urdf")), "panda_hand"
+    )
+    assert albert.ndof == 7  # base->hand chain: the 7 arm joints
+    point = chain_to(parse_urdf(str(root / "pointRobot.urdf")), "base_link")
+    assert point.ndof == 2
+    heijn = chain_to(parse_urdf(str(root / "heijn.urdf")), "base_link")
+    assert heijn.ndof == 3
+    boxer = parse_urdf(str(root / "boxer/boxer.urdf"))
+    assert sum(j.type != "fixed" for j in boxer.values()) == 4
+
+
 _REF_URDF = "/root/reference/src/m3p2i_aip/assets/urdf/franka_description/robots/franka_panda.urdf"
 
 

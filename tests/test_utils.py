@@ -28,7 +28,9 @@ class _Service:
 
 
 def test_rpc_roundtrip():
-    server = rpc.Server(_Service(), "127.0.0.1", 0)
+    server = rpc.Server(
+        _Service(), "127.0.0.1", 0, allowed_methods=("echo", "get_flag")
+    )
     port = server._sock.getsockname()[1]
 
     t = threading.Thread(target=server.run, daemon=True)
@@ -39,6 +41,14 @@ def test_rpc_roundtrip():
     out = client.call("echo", x)
     assert np.allclose(out, x * 2)
     assert client.get_flag() == 7
+    # dispatch is allowlisted: arbitrary attribute access must be rejected
+    try:
+        client.call("__init__")
+        assert False, "disallowed method was dispatched"
+    except RuntimeError as e:
+        assert "not allowed" in str(e)
+    # the connection stays usable after a rejected call
+    assert np.allclose(client.call("echo", x), x * 2)
     client.close()
     server.close()
 
