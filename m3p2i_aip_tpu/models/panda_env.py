@@ -227,6 +227,16 @@ def step(
     acc_lim = jnp.asarray(panda_fk.JOINT_ACCEL_LIMIT)
     u_clamped = jnp.clip(u_target, -vel_lim, vel_lim)
 
+    # finger-travel release model: while gripping, the fingers rest ON the
+    # cube surface (PhysX finger-cube contact stops them there), and the
+    # grasp persists until the fingers have physically cleared the cube
+    # width.  An instantaneous release on the open COMMAND throws the cube
+    # at the arm's approach speed (~1.7 m/s measured); the 2-4 tick finger
+    # travel lets the velocity drive (rate 200/s) settle the arm first —
+    # which is why the reference's placed cubes land gently.
+    half_w = params.body_half[1, 0]
+    release_gap = 2.0 * half_w + 0.005
+
     for _ in range(params.substeps):
         # --- joint velocity drive + integrate + limits ----------------------
         # First-order velocity tracking with drive-force (acceleration)
@@ -234,6 +244,9 @@ def step(
         dv = (u_clamped - qd) * (1.0 - decay)
         qd = qd + jnp.clip(dv, -acc_lim * h, acc_lim * h)
         q = jnp.clip(q + qd * h, params.joint_lower, params.joint_upper)
+        q = q.at[7:9].set(
+            jnp.where(attached > 0.5, jnp.maximum(q[7:9], half_w * 0.96), q[7:9])
+        )
 
         links = panda_fk.fk(q, params.base_pos)
         hand_pos, hand_rot = links["hand"]
@@ -241,6 +254,7 @@ def step(
 
         # --- grasp attach / detach -----------------------------------------
         cube_pos = bpos[1]
+        cube_prev = bpos[1]  # substep-start position (for the held velocity)
         near = jnp.linalg.norm(tip_pos - cube_pos) < params.grasp_range
         do_attach = (attached < 0.5) & gripper_closing & near
         rel_pos = (cube_pos - hand_pos) @ hand_rot  # == hand_rot.T @ d
@@ -248,7 +262,12 @@ def step(
         attach_pos = jnp.where(do_attach, rel_pos, attach_pos)
         attach_rot = jnp.where(do_attach, rel_rot, attach_rot)
         attached = jnp.where(do_attach, 1.0, attached)
-        attached = jnp.where(~gripper_closing, 0.0, attached)
+        # release only while the fingers are OPENING and have cleared the
+        # cube width — during the initial close the gap is still wide and
+        # an unconditional gap check would drop the cube at the attach tick
+        attached = jnp.where(
+            ~gripper_closing & (q[7] + q[8] > release_gap), 0.0, attached
+        )
 
         # --- dynamic bodies --------------------------------------------------
         # gravity + ext forces
@@ -268,6 +287,20 @@ def step(
         sup_height = jnp.max(
             jnp.where(over & below, params.sup_z[None, :], -jnp.inf), axis=-1
         )
+        # stacking: cubeA can rest on cubeB's top face — the place target is
+        # ON cubeB (pre_place z = cubeB + cube height), and the reference
+        # stacks them through PhysX; without this the released cube falls
+        # past cubeB and the place protocol breaks
+        cb_top = bpos[2, 2] + params.body_half[2, 2]
+        overB = jnp.all(
+            jnp.abs(new_pos[1, :2] - bpos[2, :2]) <= params.body_half[2, :2]
+        )
+        belowB = cb_top <= bpos[1, 2] - params.body_half[1, 2] + 1e-3
+        sup_height = sup_height.at[1].set(
+            jnp.maximum(
+                sup_height[1], jnp.where(overB & belowB, cb_top, -jnp.inf)
+            )
+        )
         rest_z = sup_height + params.body_half[:, 2]
         landing = (new_pos[:, 2] <= rest_z) & (params.body_gravity > 0.5)
         new_pos = new_pos.at[:, 2].set(jnp.where(landing, rest_z, new_pos[:, 2]))
@@ -279,7 +312,23 @@ def step(
         bvel = bvel.at[:, :2].set(
             jnp.where(landing[:, None], bvel[:, :2] * scale[:, None], bvel[:, :2])
         )
-        bom = jnp.where(landing[:, None], bom * 0.8, bom)
+        # contact settling: a resting cube's support moment rotates its
+        # nearest face flat onto the surface (PhysX does this through the
+        # contact solver; without it a released cube keeps its release tilt
+        # forever and the final orientation error can never reach the
+        # reference's ~0.003).  Restoring angular velocity along u x z
+        # flattens the body z-axis toward world z; yaw is untouched.
+        up = quat_ops.quat_to_rotmat(bquat)[..., :, 2]  # [3, 3] body z in world
+        settle_gain = 5.0
+        near_flat = (up[..., 2] > 0.5)[..., None]
+        om_settle = settle_gain * jnp.stack(
+            [up[..., 1], -up[..., 0], jnp.zeros_like(up[..., 0])], axis=-1
+        )
+        bom = jnp.where(
+            landing[:, None],
+            bom * 0.8 + jnp.where(near_flat, om_settle, 0.0),
+            bom,
+        )
 
         # lateral pushout of cubes vs static AABBs (cube approx as sphere)
         r_eff = jnp.mean(params.body_half, axis=-1)
@@ -304,7 +353,12 @@ def step(
         held_pos = hand_pos + hand_rot @ attach_pos
         held_quat = quat_ops.mat_to_quat(hand_rot @ attach_rot)
         is_att = attached > 0.5
-        new_vel = (held_pos - bpos[1]) / h
+        # velocity of the HELD cube = hand velocity: difference against the
+        # substep-START position.  Differencing against the post-integration
+        # position (old + v*h, then reset to held) made the stored velocity
+        # NEGATE itself every substep while the hand was still — so release
+        # threw the cube at the stale grasp-approach speed.
+        new_vel = (held_pos - cube_prev) / h
         bpos = bpos.at[1].set(jnp.where(is_att, held_pos, bpos[1]))
         bquat = bquat.at[1].set(
             jnp.where(is_att, held_quat, bquat[1])

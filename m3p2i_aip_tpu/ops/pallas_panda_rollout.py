@@ -144,7 +144,7 @@ def _sphere_aabb(c, radius, bmin, bmax):
 # --------------------------------------------------------------------------
 
 def _panda_kernel(
-    task_ref,   # SMEM [8]: task_id, goal_pos(3), goal_quat(4, xyzw)
+    task_ref,   # SMEM [9]: task_id, goal_pos(3), goal_quat(4, xyzw), k0
     acts_ref,   # VMEM [T, 9, Kp] (pre-scaled, gripper channels pre-overridden)
     state_ref,  # VMEM [61, Kp]
     cost_ref,   # VMEM out [T, Kp]
@@ -171,8 +171,12 @@ def _panda_kernel(
         [2 * (gx_ * gz_ - gw_ * gy_), 2 * (gy_ * gz_ + gw_ * gx_), 2 * (gw_ * gw_ + gz_ * gz_) - 1],
     ]
 
+    k0 = task_ref[8]  # global sample offset of this shard (0 unsharded)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
-    mode1 = (col >= P["half_K"]) & (col < P["K"])  # second-half samples
+    # GLOBAL-index mode split: correct inside a shard_map shard (see
+    # pallas_rollout.py)
+    gcol = col.astype(jnp.float32) + k0
+    mode1 = (gcol >= P["half_K"]) & (gcol < P["K"])  # second-half samples
 
     def row(i):
         return state_ref[i : i + 1, :]
@@ -289,12 +293,20 @@ def _panda_kernel(
         cB_fy = jnp.zeros((1, Kp), jnp.float32)
         links = None
 
+        half_w = P["body_half"][1][0]
+        release_gap = 2.0 * half_w + 0.005
+
         for _ in range(P["substeps"]):
             # --- joint drive + integrate (accel-saturated velocity tracking)
             for c in range(9):
                 dv = (u_cl[c] - qd[c]) * one_m_decay
                 qd[c] = qd[c] + jnp.clip(dv, -acc_h[c], acc_h[c])
                 q[c] = jnp.clip(q[c] + qd[c] * h, j_lo[c], j_hi[c])
+            # fingers rest ON the gripped cube (finger-travel release model,
+            # panda_env.py)
+            held = att > 0.5
+            q[7] = jnp.where(held, jnp.maximum(q[7], half_w * 0.96), q[7])
+            q[8] = jnp.where(held, jnp.maximum(q[8], half_w * 0.96), q[8])
 
             links = fk(q)
             hand_pos = links["hand"]
@@ -302,6 +314,7 @@ def _panda_kernel(
             tip = links["fingertip"]
 
             # --- grasp attach / detach (panda_env.py:242-251)
+            cA_prev = list(cAp)  # substep-start position (held velocity ref)
             d_tc = [tip[i] - cAp[i] for i in range(3)]
             near = _norm3(d_tc) < P["grasp_range"]
             do_attach = (att < 0.5) & gripper_closing & near
@@ -316,7 +329,10 @@ def _panda_kernel(
                 for i in range(3)
             ]
             att = jnp.where(do_attach, 1.0, att)
-            att = jnp.where(~gripper_closing, 0.0, att)
+            # only an OPENING gripper releases (panda_env.py)
+            att = jnp.where(
+                ~gripper_closing & (q[7] + q[8] > release_gap), 0.0, att
+            )
 
             # --- body dynamics: gravity, integrate, support, pushout --------
             bpos = [d0p, cAp, cBp]
@@ -342,6 +358,18 @@ def _panda_kernel(
                     )
                     below = sup_z[p] <= (old_z - half[b][2] + 1e-3)
                     sup_h = jnp.maximum(sup_h, jnp.where(over & below, sup_z[p], neg_inf))
+                if b == 1:
+                    # cubeA stacks on cubeB's top face (panda_env.py support
+                    # block) — bpos entries are this substep's OLD positions
+                    cb_top = bpos[2][2] + half[2][2]
+                    overB = (
+                        (jnp.abs(new_pos[1][0] - bpos[2][0]) <= half[2][0])
+                        & (jnp.abs(new_pos[1][1] - bpos[2][1]) <= half[2][1])
+                    )
+                    belowB = cb_top <= (old_z - half[1][2] + 1e-3)
+                    sup_h = jnp.maximum(
+                        sup_h, jnp.where(overB & belowB, cb_top, neg_inf)
+                    )
                 rest_z = sup_h + half[b][2]
                 landing = (new_pos[b][2] <= rest_z) & (grav_on[b] > 0.5)
                 new_pos[b][2] = jnp.where(landing, rest_z, new_pos[b][2])
@@ -353,7 +381,15 @@ def _panda_kernel(
                 vy = jnp.where(landing, v[1] * scale, v[1])
                 bvel[b] = [vx, vy, vz]
                 if b == 1:
-                    cAom = [jnp.where(landing, w * 0.8, w) for w in cAom]
+                    # contact settling torque (panda_env.py landing branch):
+                    # flatten body z toward world z while resting
+                    ux, uy, uz = cAR[0][2], cAR[1][2], cAR[2][2]
+                    flat = (uz > 0.5).astype(jnp.float32)
+                    omc = [5.0 * uy * flat, -5.0 * ux * flat, 0.0 * ux]
+                    cAom = [
+                        jnp.where(landing, cAom[i] * 0.8 + omc[i], cAom[i])
+                        for i in range(3)
+                    ]
 
                 # lateral pushout vs the statics (cube approx as sphere)
                 corr = [jnp.zeros((1, Kp), jnp.float32) for _ in range(3)]
@@ -382,7 +418,8 @@ def _panda_kernel(
             held_pos = [hand_pos[i] + hv[i] for i in range(3)]
             held_rot = _mat_mul(hand_rot, aR)
             is_att = att > 0.5
-            new_vel = [(held_pos[i] - cAp[i]) / h for i in range(3)]
+            # substep-START reference (panda_env.py held-velocity fix)
+            new_vel = [(held_pos[i] - cA_prev[i]) / h for i in range(3)]
             cAp = _where3(is_att, held_pos, cAp)
             cAv = _where3(is_att, new_vel, cAv)
             cAR = [
@@ -567,37 +604,50 @@ def make_panda_rollout(
         pre_height_diff=float(cfg.pre_height_diff),
         tilt_cos_theta=0.5,
     )
-    Kp = _round_up(K, 128)
+    # per-LOCAL-K pallas_call construction (shard_map composability — see
+    # pallas_rollout.py)
+    _calls = {}
 
-    # named closure, NOT functools.partial — a partial's repr embeds a memory
-    # address, which leaks into the mosaic module name and destabilizes the
-    # persistent-compilation-cache key across processes (see pallas_rollout.py)
-    def panda_rollout_kernel(*refs):
-        return _panda_kernel(*refs, P=P)
+    def _get_call(K_loc: int):
+        if K_loc not in _calls:
+            Kp = _round_up(K_loc, 128)
 
-    call = pl.pallas_call(
-        panda_rollout_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((T, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((T, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((T, Kp), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )
+            # named closure, NOT functools.partial — a partial's repr embeds
+            # a memory address, which leaks into the mosaic module name and
+            # destabilizes the persistent-compilation-cache key across
+            # processes (see pallas_rollout.py)
+            def panda_rollout_kernel(*refs):
+                return _panda_kernel(*refs, P=P)
+
+            _calls[K_loc] = (
+                pl.pallas_call(
+                    panda_rollout_kernel,
+                    out_shape=(
+                        jax.ShapeDtypeStruct((T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((T, Kp), jnp.float32),
+                    ),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=(
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ),
+                    interpret=interpret,
+                ),
+                Kp,
+            )
+        return _calls[K_loc]
 
     from m3p2i_aip_tpu.ops.quat import quat_to_rotmat
 
-    def rollout(sim_state_k, acts, task):
+    def rollout(sim_state_k, acts, task, k0=None):
+        K_loc = acts.shape[0]
+        call, Kp = _get_call(K_loc)
         s0 = jax.tree_util.tree_map(lambda x: x[0], sim_state_k)
         cAR0 = quat_to_rotmat(s0.body_quat[1]).reshape(9)
         rows = (
@@ -619,17 +669,22 @@ def make_panda_rollout(
             jnp.stack(rows)[:, None], (61, Kp)
         ).astype(jnp.float32)
 
-        acts_t = jnp.swapaxes(acts, 0, 1)  # [T, K, 9]
+        acts_t = jnp.swapaxes(acts, 0, 1)  # [T, K_loc, 9]
         acts_p = jnp.zeros((T, 9, Kp), jnp.float32)
-        acts_p = acts_p.at[:, :, :K].set(jnp.swapaxes(acts_t, 1, 2))
+        acts_p = acts_p.at[:, :, :K_loc].set(jnp.swapaxes(acts_t, 1, 2))
 
+        k0v = jnp.zeros((), jnp.float32) if k0 is None else jnp.asarray(k0, jnp.float32)
         task_vec = jnp.concatenate(
-            [task.task_id.astype(jnp.float32)[None], task.goal.astype(jnp.float32)]
+            [
+                task.task_id.astype(jnp.float32)[None],
+                task.goal.astype(jnp.float32),
+                k0v[None],
+            ]
         )
 
         cost, tx, ty = call(task_vec, acts_p, state_packed)
-        cost_horizon = jnp.swapaxes(cost[:, :K], 0, 1)
-        tps = jnp.stack([tx[:, :K], ty[:, :K]], axis=-1)
+        cost_horizon = jnp.swapaxes(cost[:, :K_loc], 0, 1)
+        tps = jnp.stack([tx[:, :K_loc], ty[:, :K_loc]], axis=-1)
         return cost_horizon, jnp.swapaxes(tps, 0, 1)
 
     return rollout

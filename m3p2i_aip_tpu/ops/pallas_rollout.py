@@ -182,7 +182,7 @@ def _corner_pens(cx, cy, cc, cs, hxa, hya, bx, by, bc, bs, hxb, hyb):
 
 
 def _rollout_kernel(
-    task_ref,  # SMEM [3]: task_id, goal_x, goal_y
+    task_ref,  # SMEM [4]: task_id, goal_x, goal_y, k0 (global sample offset)
     acts_ref,  # VMEM [T, 2, Kp]
     state_ref,  # VMEM [4 + 6D, Kp]
     cost_ref,  # VMEM out [T, Kp]
@@ -202,9 +202,13 @@ def _rollout_kernel(
     task_id = jnp.clip(task_ref[0], 0.0, 3.0)
     gx = task_ref[1]
     gy = task_ref[2]
+    k0 = task_ref[3]  # global sample offset of this shard (0 unsharded)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
-    mode1 = (col >= P["half_K"]) & (col < P["K"])  # second-half samples
+    # mode split is GLOBAL-index based so a shard_map shard covering samples
+    # [k0, k0+K_loc) keeps the reference's half-batch semantics (mppi.py:397-400)
+    gcol = col.astype(jnp.float32) + k0
+    mode1 = (gcol >= P["half_K"]) & (gcol < P["K"])  # second-half samples
 
     # unpack state rows -> [1, Kp] registers
     def row(i):
@@ -576,36 +580,51 @@ def make_point_rollout(
         multi_modal=bool(multi_modal),
         kp_suction=float(kp_suction),
     )
-    Kp = _round_up(K, 128)
+    # pallas_call construction is memoized per LOCAL sample count so the same
+    # rollout callable works unsharded (K_loc == K) and inside a shard_map
+    # shard (K_loc == K / mesh_size) — SURVEY.md §2.2 "rollout batch
+    # parallelism ... optionally shard_map/pjit over a sample-axis mesh".
+    _calls = {}
 
-    # a NAMED closure, not functools.partial: pallas derives the kernel /
-    # mosaic module name from the callable, and a partial stringifies with
-    # its memory address — which made the persistent-compilation-cache key
-    # unstable across processes (every run recompiled the fused tick)
-    def point_rollout_kernel(*refs):
-        return _rollout_kernel(*refs, P=P)
+    def _get_call(K_loc: int):
+        if K_loc not in _calls:
+            Kp = _round_up(K_loc, 128)
+            # a NAMED closure, not functools.partial: pallas derives the
+            # kernel / mosaic module name from the callable, and a partial
+            # stringifies with its memory address — which made the
+            # persistent-compilation-cache key unstable across processes
+            # (every run recompiled the fused tick)
+            def point_rollout_kernel(*refs):
+                return _rollout_kernel(*refs, P=P)
 
-    call = pl.pallas_call(
-        point_rollout_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((T, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((T, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((T, Kp), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )
+            _calls[K_loc] = (
+                pl.pallas_call(
+                    point_rollout_kernel,
+                    out_shape=(
+                        jax.ShapeDtypeStruct((T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((T, Kp), jnp.float32),
+                    ),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=(
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ),
+                    interpret=interpret,
+                ),
+                Kp,
+            )
+        return _calls[K_loc]
 
-    def rollout(sim_state_k, acts, task):
+    def rollout(sim_state_k, acts, task, k0=None):
+        """``k0`` = this shard's global sample offset (None/0 unsharded)."""
+        K_loc = acts.shape[0]
+        call, Kp = _get_call(K_loc)
         # single start state (all K identical by construction)
         s0 = jax.tree_util.tree_map(lambda x: x[0], sim_state_k)
         rows = [
@@ -620,17 +639,18 @@ def make_point_rollout(
             jnp.stack(rows)[:, None], (4 + 6 * D, Kp)
         ).astype(jnp.float32)
 
-        acts_t = jnp.swapaxes(acts, 0, 1)  # [T, K, nu]
+        acts_t = jnp.swapaxes(acts, 0, 1)  # [T, K_loc, nu]
         acts_p = jnp.zeros((T, 2, Kp), jnp.float32)
-        acts_p = acts_p.at[:, :, :K].set(jnp.swapaxes(acts_t, 1, 2))
+        acts_p = acts_p.at[:, :, :K_loc].set(jnp.swapaxes(acts_t, 1, 2))
 
+        k0v = jnp.zeros((), jnp.float32) if k0 is None else jnp.asarray(k0, jnp.float32)
         task_vec = jnp.stack(
-            [task.task_id.astype(jnp.float32), task.goal[0], task.goal[1]]
+            [task.task_id.astype(jnp.float32), task.goal[0], task.goal[1], k0v]
         )
 
         cost, tx, ty = call(task_vec, acts_p, state_packed)
-        cost_horizon = jnp.swapaxes(cost[:, :K], 0, 1)  # [K, T]
-        tps = jnp.stack([tx[:, :K], ty[:, :K]], axis=-1)  # [T, K, 2]
+        cost_horizon = jnp.swapaxes(cost[:, :K_loc], 0, 1)  # [K_loc, T]
+        tps = jnp.stack([tx[:, :K_loc], ty[:, :K_loc]], axis=-1)
         return cost_horizon, jnp.swapaxes(tps, 0, 1)
 
     return rollout

@@ -380,6 +380,37 @@ class MPPI:
         grip8 = jnp.where(use, val, acts[..., 8])
         return acts.at[..., 8].set(grip8)
 
+    def _sharded_override_rollout(self, sim_state0, acts, task):
+        """Fused rollout kernel under ``shard_map``: each device runs the
+        kernel on its K/n sample slice (rollouts are embarrassingly parallel
+        through the dynamics — SURVEY.md §2.2).  The kernel receives its
+        shard's global sample offset so the M3P2I half-batch mode split stays
+        global-index based."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+
+        n = int(self.mesh.devices.size)
+        K_loc = self.K // n
+        sample = PartitionSpec("samples")
+        rep = PartitionSpec()
+
+        def body(s, a, t):
+            k0 = jax.lax.axis_index("samples") * K_loc
+            return self.rollout_override(s, a, t, k0=k0)
+
+        return shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(sample, sample, rep),
+            out_specs=(sample, sample),
+            # pallas_call outputs carry no varying-mesh-axis annotation;
+            # correctness is covered by the sharded==unsharded equality test
+            check_vma=False,
+        )(sim_state0, acts, task)
+
     def _rollout(self, sim_state0, acts: jnp.ndarray, task: TaskParams):
         """Roll all K sampled sequences through the dynamics.
 
@@ -387,8 +418,10 @@ class MPPI:
         vmap(dynamics) inside lax.scan over the horizon.
         Returns (cost_horizon [K, T], traj_points [K, T, d]).
         """
-        if self.rollout_override is not None and self.mesh is None:
-            return self.rollout_override(sim_state0, acts, task)
+        if self.rollout_override is not None:
+            if self.mesh is None:
+                return self.rollout_override(sim_state0, acts, task)
+            return self._sharded_override_rollout(sim_state0, acts, task)
         ext0 = jax.vmap(lambda _: self.zero_ext())(jnp.arange(self.K))
         mode = self.sample_mode
 

@@ -23,9 +23,10 @@ import os
 from functools import partial
 
 from m3p2i_aip_tpu.envs import Env, make_env, update_dyn_obs_device
+from m3p2i_aip_tpu.ops import general_ori_cube2goal
 from m3p2i_aip_tpu.planners.motion_planner import cost_functions
 from m3p2i_aip_tpu.planners.motion_planner.m3p2i import M3P2I
-from m3p2i_aip_tpu.planners.motion_planner.mppi import make_task_params
+from m3p2i_aip_tpu.planners.motion_planner.mppi import TaskParams, make_task_params
 from m3p2i_aip_tpu.planners.task_planner.task_planner import set_task_planner
 from m3p2i_aip_tpu.utils import skill_utils
 
@@ -98,6 +99,9 @@ class ReactiveTAMP:
         self._zero_action = jnp.zeros(self.env.nu)
         self._tick_fused = jax.jit(self._tick_fused_impl)
         self._run_chunk = jax.jit(self._run_chunk_impl, static_argnums=(4,))
+        self._run_chunk_panda = jax.jit(
+            self._run_chunk_panda_impl, static_argnums=(3,)
+        )
 
     # ------------------------------------------------------------------ api
     def run_tamp(self, real_state) -> jnp.ndarray:
@@ -256,6 +260,77 @@ class ReactiveTAMP:
 
     def run_chunk(self, mppi_state, real_state, task, i0: int, length: int):
         return self._run_chunk(mppi_state, real_state, task, jnp.asarray(i0), length)
+
+    # --------------------------------------------- on-device panda AIF gate
+    def _panda_gate_device(self, real_state, stage):
+        """The PLANNER_AIF_PANDA decision as traced data (task_planner.py:90-123).
+
+        The AIF machinery's observable behavior on MDPIsCubeAtReal is a
+        3-stage latch (reach -> pick -> place driven by the geometric
+        thresholds with pick_always/place_always hysteresis), so the plan can
+        be computed on-device — which is what lets the panda loop CHUNK
+        (symbolic switches no longer need a host sync every tick).
+        Equivalence against the host path is asserted in
+        tests/test_tamp_integration.py.
+        Returns (TaskParams, new_stage, success).
+        """
+        from m3p2i_aip_tpu.models import panda_fk
+
+        p = self.env.params
+        links = panda_fk.fk(real_state.q, p.base_pos)
+        ee = links["ee"][0]
+        cube = real_state.body_pos[1]
+        cube_q = real_state.body_quat[1]
+        goal_pos = real_state.body_pos[2]
+        goal_q = real_state.body_quat[2]
+        th = float(self.cfg.pre_height_diff) + 0.005
+
+        pre_place = jnp.concatenate([goal_pos.at[2].add(th), goal_q])
+        reach_cost = jnp.linalg.norm(ee - cube)
+        dist_cost = jnp.linalg.norm(pre_place[:2] - cube[:2])
+        # host passes (goal quat, cube quat) in that order (task_planner.py:94-98)
+        ori_cost = general_ori_cube2goal(goal_q, cube_q)
+
+        new_stage = jnp.where(
+            (dist_cost + ori_cost < 0.03) | (stage >= 2),
+            2,
+            jnp.where((reach_cost < th) | (stage >= 1), 1, 0),
+        ).astype(jnp.int32)
+        task = TaskParams(
+            task_id=jnp.asarray(4, jnp.int32) + new_stage,
+            goal=pre_place,
+            # reach/place -> open(1), pick -> close(2) (m3p2i.py:22-28)
+            gripper=jnp.where(new_stage == 1, 2, 1).astype(jnp.int32),
+        )
+        success = (new_stage == 2) & (dist_cost < 0.04)
+        return task, new_stage, success
+
+    def _run_chunk_panda_impl(self, mppi_state, real_state, stage, length: int):
+        """``length`` panda ticks in ONE dispatch: the AIF gate, replan, and
+        real-env step all run on-device under lax.scan (the point env's
+        chunked mode extended to the panda via _panda_gate_device)."""
+
+        def body(carry, _):
+            ms, rs, st, done = carry
+            task, st, succ = self._panda_gate_device(rs, st)
+            done = done | succ
+            action_seq, ms, aux = self.motion_planner._command_impl(ms, rs, task)
+            action = jnp.where(done, jnp.zeros_like(action_seq[0]), action_seq[0])
+            rs = self.env.step(rs, action, self.env.zero_ext())
+            return (ms, rs, st, done), (self.env.view_vec(rs), st, done)
+
+        (mppi_state, real_state, stage, done), (views, stages, dones) = jax.lax.scan(
+            body,
+            (mppi_state, real_state, stage, jnp.asarray(False)),
+            None,
+            length=length,
+        )
+        return mppi_state, real_state, stage, done, views, stages, dones
+
+    def run_chunk_panda(self, mppi_state, real_state, stage, length: int):
+        return self._run_chunk_panda(
+            mppi_state, real_state, jnp.asarray(stage, jnp.int32), length
+        )
 
     # -------------------------------------------------------------- queries
     def get_trajs(self):

@@ -136,6 +136,32 @@ class SimLoop:
                 break
         return self.log
 
+    def settle(self, n: int = 100) -> None:
+        """Free-run ``n`` zero-action env steps (one dispatch) and refresh
+        the view.
+
+        Evaluation-protocol parity: the reference's sim loop never breaks on
+        success (sim.py:37 runs 10000 ticks), so its logged rows reflect a
+        RELEASED, fully settled cube — the published ori errors (~0.003) are
+        post-settling.  Call this before logging a row.
+        """
+        zero_u = jnp.zeros(self.env.nu)
+        if self.env.env_type == "panda_env":
+            # the reference's post-success ticks keep the place-stage OPEN
+            # gripper command active (the planner runs for all 10000 ticks);
+            # without it the fingers never travel and the cube never releases
+            zero_u = zero_u.at[7:9].set(1.5)
+        ext = self.env.zero_ext()
+
+        def body(s, _):
+            return self.env.step(s, zero_u, ext), None
+
+        self.state, _ = jax.jit(
+            lambda s: jax.lax.scan(body, s, None, length=n)
+        )(self.state)
+        jax.block_until_ready(self.state)
+        self._view = self.env.view(self.state)
+
     def perturb_body(self, name: str, dpos) -> None:
         """Displace a named dynamic body in the real env (host-side).
 
@@ -169,6 +195,8 @@ class SimLoop:
         """
         if self._view is None:
             self.warmup(0)
+        if self.env.env_type == "panda_env":
+            return self._run_chunked_panda(n_steps, chunk)
         i = 0
         while i < n_steps:
             t0 = time.perf_counter()
@@ -193,6 +221,41 @@ class SimLoop:
                 if self.tamp.task_success and done_at is None:
                     done_at = i + k
             if done_at is not None:
+                break
+            i += chunk
+        return self.log
+
+    def _run_chunked_panda(self, n_steps: int, chunk: int) -> TickLog:
+        """Chunked panda execution: per-tick symbolic switches stay EXACT
+        because the AIF gate runs on-device inside the scan
+        (ReactiveTAMP._panda_gate_device) — no chunk-boundary plan delay."""
+        _STAGE_TASK = ("reach", "pick", "place")
+        stage = 0
+        i = 0
+        while i < n_steps:
+            t0 = time.perf_counter()
+            ms, rs, stage_dev, done, views, stages, dones = self.tamp.run_chunk_panda(
+                self.tamp.mppi_state, self.state, stage, chunk
+            )
+            views = np.asarray(jax.block_until_ready(views))
+            stages = np.asarray(stages)
+            dones = np.asarray(dones)
+            t1 = time.perf_counter()
+            self.tamp.mppi_state, self.state = ms, rs
+            stage = int(stage_dev)
+            per = (t1 - t0) / chunk
+            done_at = None
+            for k in range(chunk):
+                self._view = self.env.view_unpack(views[k])
+                # keep the host planner's view of the task in sync for logs
+                self.tamp.task_planner.task = _STAGE_TASK[int(stages[k])]
+                self._record(i + k, self._view, per, 0.0)
+                if bool(dones[k]):
+                    done_at = i + k
+                    break  # stop at the success tick so _view/log match it
+            if done_at is not None:
+                self.tamp.task_success = True
+                self.log.success_step = done_at
                 break
             i += chunk
         return self.log

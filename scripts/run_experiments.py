@@ -30,6 +30,7 @@ from m3p2i_aip_tpu.tamp.sim_loop import SimLoop
 def main(argv) -> None:
     n_runs = 20
     out = None
+    chunked = 0
     config_name = "config_point"
     passthrough = []
     it = iter(range(len(argv)))
@@ -38,6 +39,8 @@ def main(argv) -> None:
         a = argv[i]
         if a.startswith("n_runs="):
             n_runs = int(a.split("=", 1)[1])
+        elif a.startswith("chunked="):
+            chunked = int(a.split("=", 1)[1])
         elif a.startswith("out="):
             out = a.split("=", 1)[1]
         elif a in ("-cn", "--config-name"):
@@ -58,9 +61,18 @@ def main(argv) -> None:
         t0 = time.time()
         loop = SimLoop(cfg)
         loop.warmup(20)
-        log = loop.run(cfg.n_steps)
+        # chunked=N runs N full ticks per device dispatch (lax.scan) —
+        # essential through a remote-attached chip where each dispatch
+        # costs tens of ms; panda uses the on-device AIF gate so symbolic
+        # switches stay per-tick exact
+        log = loop.run_chunked(cfg.n_steps, chunk=chunked) if chunked else loop.run(cfg.n_steps)
         ok = log.success_step is not None
         successes += int(ok)
+        if is_panda:
+            # reference protocol: the sim never stops at success (sim.py:37
+            # runs 10000 ticks) — the logged row is the RELEASED, settled
+            # cube.  Free-run past the success tick before logging.
+            loop.settle(150)
         view = loop._view
         if is_panda:
             logger.add(finalize_panda_row(view))

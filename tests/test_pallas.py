@@ -128,18 +128,59 @@ def test_fused_rollout_interpret_matches_xla_cpu():
     SUCTION-ACTIVE high-speed state where the ±500 N pull force hits the
     6 m/s robot speed cap (point_env.py:310-312) — the cap the kernel
     originally omitted (ADVICE round 1, high severity).
+
+    Runs on REDUCED physics params (substeps=1, pos_iters=1, 2 statics):
+    every code path — drive, cap, all 5 contact passes, suction carry,
+    every task cost — is still exercised, but the interpret-mode program is
+    ~8x smaller (the full-size program takes >30 min to compile on CPU).
+    Both sides are built from the SAME reduced params, so any formula drift
+    still fails.
     """
+    from m3p2i_aip_tpu.models import point_env
     from m3p2i_aip_tpu.ops.pallas_rollout import make_point_rollout
+    from m3p2i_aip_tpu.planners.motion_planner.cost_functions import (
+        PointObjective,
+    )
 
     cfg, tamp = _build_tamp()
     mp = tamp.motion_planner
+    full = tamp.env.params
+    red = full.replace(
+        substeps=1,
+        pos_iters=1,
+        stat_pos=full.stat_pos[:2],
+        stat_yaw=full.stat_yaw[:2],
+        stat_half=full.stat_half[:2],
+        stat_friction=full.stat_friction[:2],
+        stat_actor_idx=full.stat_actor_idx[:2],
+    )
     ov = make_point_rollout(
-        tamp.env.params, float(cfg.kp_suction), mp.K, mp.T,
+        red, float(cfg.kp_suction), mp.K, mp.T,
         bool(cfg.multi_modal), interpret=True,
     )
     assert ov is not None
 
     K, T = mp.K, mp.T
+    obj = PointObjective(red, cfg)
+    mode = (jnp.arange(K) >= K // 2).astype(jnp.int32)
+
+    def _xla_rollout(state_k, acts, task):
+        """MPPI._rollout semantics on the reduced params (mppi.py:382-409)."""
+        ext0 = jax.vmap(lambda _: point_env.zero_ext(red))(jnp.arange(K))
+
+        def step_t(carry, u_t):
+            s, ext = carry
+            s = jax.vmap(lambda st, u, e: point_env.step(red, st, u, e))(
+                s, u_t, ext
+            )
+            cost, ext = jax.vmap(obj.compute, in_axes=(0, 0, None, 0))(
+                s, u_t, task, mode
+            )
+            return (s, ext), (cost, s.q[:, :2])
+
+        acts_t = jnp.swapaxes(acts, 0, 1)
+        (_, _), (costs, tps) = jax.lax.scan(step_t, (state_k, ext0), acts_t)
+        return jnp.swapaxes(costs, 0, 1), jnp.swapaxes(tps, 0, 1)
     rng = np.random.default_rng(0)
     starts = [
         # open space
@@ -156,7 +197,7 @@ def test_fused_rollout_interpret_matches_xla_cpu():
     ]
     # compile ONCE; task/state/acts are traced args (interpret-mode compiles
     # of the full rollout program are minutes each on CPU)
-    ref_fn = jax.jit(lambda s, a, t: mp._rollout(s, a, t))
+    ref_fn = jax.jit(_xla_rollout)
     pl_fn = jax.jit(lambda s, a, t: ov(s, a, t))
     for q0, qd0 in starts:
         state = tamp.env.init_state().replace(q=q0, qd=qd0)
@@ -187,19 +228,47 @@ def test_panda_rollout_interpret_matches_xla_cpu():
     from m3p2i_aip_tpu.planners.motion_planner.mppi import TaskParams
     from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
 
+    from m3p2i_aip_tpu.models import panda_env
+    from m3p2i_aip_tpu.planners.motion_planner.cost_functions import (
+        PandaObjective,
+    )
+
     cfg = load_config(
         "config_panda",
         ["mppi.num_samples=16", "mppi.horizon=4", "multi_modal=True"],
     )
     tamp = ReactiveTAMP(cfg)
     mp = tamp.motion_planner
-    ov = make_panda_rollout(
-        tamp.env.params, cfg, mp.K, mp.T, bool(cfg.multi_modal), interpret=True
-    )
+    # reduced physics (substeps=1): halves the interpret-mode program; both
+    # sides share the reduced params so formula drift still fails (see the
+    # point-env interpret test above)
+    red = tamp.env.params.replace(substeps=1)
+    ov = make_panda_rollout(red, cfg, mp.K, mp.T, bool(cfg.multi_modal), interpret=True)
     assert ov is not None
-    mp.rollout_override = None  # XLA reference path
 
     K, T = mp.K, mp.T
+    obj = PandaObjective(red, cfg)
+    mode = (jnp.arange(K) >= K // 2).astype(jnp.int32)
+
+    def _xla_rollout(state_k, acts, task):
+        ext0 = jax.vmap(lambda _: panda_env.zero_ext(red))(jnp.arange(K))
+
+        def step_t(carry, u_t):
+            s, ext = carry
+            s = jax.vmap(lambda st, u, e: panda_env.step(red, st, u, e))(
+                s, u_t, ext
+            )
+            cost, ext = jax.vmap(obj.compute, in_axes=(0, 0, None, 0))(
+                s, u_t, task, mode
+            )
+            from m3p2i_aip_tpu.models import panda_fk
+
+            ee = jax.vmap(lambda st: panda_fk.fk(st.q, red.base_pos)["ee"][0][:2])(s)
+            return (s, ext), (cost, ee)
+
+        acts_t = jnp.swapaxes(acts, 0, 1)
+        (_, _), (costs, tps) = jax.lax.scan(step_t, (state_k, ext0), acts_t)
+        return jnp.swapaxes(costs, 0, 1), jnp.swapaxes(tps, 0, 1)
     rng = np.random.default_rng(1)
     base = tamp.env.init_state()
     goal_q = jnp.asarray([0.0, 0.0, 0.383, 0.924])
@@ -242,7 +311,7 @@ def test_panda_rollout_interpret_matches_xla_cpu():
     ]
     # compile ONCE; task/state/acts are traced args (interpret-mode compiles
     # of the full rollout program are minutes each on CPU)
-    ref_fn = jax.jit(lambda s, a, t: mp._rollout(s, a, t))
+    ref_fn = jax.jit(_xla_rollout)
     pl_fn = jax.jit(lambda s, a, t: ov(s, a, t))
     for i, (state, task, grip) in enumerate(cases):
         sK = jax.tree_util.tree_map(
@@ -261,3 +330,34 @@ def test_panda_rollout_interpret_matches_xla_cpu():
         assert np.allclose(
             np.asarray(tps_ref), np.asarray(tps_pl), atol=1e-3
         ), i
+
+
+@pytest.mark.skipif(not pallas_available(), reason="needs a TPU backend")
+def test_panda_fused_rollout_matches_xla_tpu():
+    """Panda kernel vs XLA rollout on real TPU (looser tolerances: TPU f32
+    matmul rounding differs between the two lowerings; the strict gate is
+    the CPU interpret-mode test above)."""
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config("config_panda", ["multi_modal=True"])
+    tamp = ReactiveTAMP(cfg)
+    mp = tamp.motion_planner
+    assert mp.rollout_override is not None
+
+    state = tamp.env.init_state()
+    tp = tamp.tamp_interface(state)
+    sK = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (mp.K,) + x.shape), state
+    )
+    rng = np.random.default_rng(0)
+    acts = jnp.asarray(
+        rng.uniform(-1.5, 1.5, size=(mp.K, mp.T, 9)).astype(np.float32)
+    )
+    ov = mp.rollout_override
+    mp.rollout_override = None
+    ch_ref, tps_ref = jax.jit(lambda s, a: mp._rollout(s, a, tp))(sK, acts)
+    mp.rollout_override = ov
+    ch_pl, tps_pl = jax.jit(lambda s, a: ov(s, a, tp))(sK, acts)
+    assert np.allclose(np.asarray(ch_ref), np.asarray(ch_pl), atol=0.2)
+    assert np.allclose(np.asarray(tps_ref), np.asarray(tps_pl), atol=1e-2)

@@ -85,3 +85,63 @@ def test_dryrun_multichip_self_provisions():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout, out.stdout[-2000:]
+
+
+@pytest.mark.slow
+def test_sharded_equals_unsharded_large_K():
+    """Action equality sharded vs unsharded at K=512 (VERDICT round 1 #5)."""
+    tamp_a = _build(512)
+    tamp_b = _build(512)
+    shard_planner(tamp_b.motion_planner, make_mesh())
+
+    state = tamp_a.env.init_state()
+    act_a = np.asarray(tamp_a.run_tamp(state))
+    act_b = np.asarray(tamp_b.run_tamp(state))
+    assert np.allclose(act_a, act_b, atol=1e-4), (act_a, act_b)
+
+
+@pytest.mark.slow
+def test_sharded_kernel_rollout_matches_unsharded():
+    """The fused rollout kernel composes with the mesh: under shard_map each
+    device runs the kernel on its K/n slice with a global sample offset, so
+    the M3P2I mode split (second half of K = pull) stays correct.  Validated
+    on the virtual CPU mesh via the interpret-mode kernel."""
+    from m3p2i_aip_tpu.ops.pallas_rollout import make_point_rollout
+
+    tamp = _build(32)
+    mp = tamp.motion_planner
+    cfg = tamp.cfg
+    # reduced physics: interpret-mode compiles of the full-size kernel take
+    # tens of minutes on CPU (see tests/test_pallas.py); the sharding
+    # mechanics under test are independent of the contact-pass count
+    full = tamp.env.params
+    red = full.replace(
+        substeps=1,
+        pos_iters=1,
+        stat_pos=full.stat_pos[:2],
+        stat_yaw=full.stat_yaw[:2],
+        stat_half=full.stat_half[:2],
+        stat_friction=full.stat_friction[:2],
+        stat_actor_idx=full.stat_actor_idx[:2],
+    )
+    ov = make_point_rollout(
+        red, float(cfg.kp_suction), mp.K, mp.T,
+        bool(cfg.multi_modal), interpret=True,
+    )
+    assert ov is not None
+    state = tamp.env.init_state()
+    tp = tamp.tamp_interface(state)
+    sK = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (mp.K,) + x.shape), state
+    )
+    rng = np.random.default_rng(0)
+    acts = jnp.asarray(
+        rng.uniform(-3, 3, size=(mp.K, mp.T, 2)).astype(np.float32)
+    )
+
+    mp.set_rollout_override(ov)
+    ch_un, tps_un = jax.jit(lambda s, a: mp._rollout(s, a, tp))(sK, acts)
+    mp.set_mesh(make_mesh())
+    ch_sh, tps_sh = jax.jit(lambda s, a: mp._rollout(s, a, tp))(sK, acts)
+    assert np.allclose(np.asarray(ch_un), np.asarray(ch_sh), atol=1e-4)
+    assert np.allclose(np.asarray(tps_un), np.asarray(tps_sh), atol=1e-5)

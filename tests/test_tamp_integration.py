@@ -240,3 +240,52 @@ def test_domain_randomization_friction_and_size():
     )
     # noise must stay within the configured envelope
     assert abs(float(noised.dyn_friction[slot]) - 0.5) <= 0.3 * 0.5 + 1e-6
+
+
+def test_panda_device_gate_matches_host_planner():
+    """The on-device AIF gate (ReactiveTAMP._panda_gate_device) must make the
+    same reach/pick/place decisions as the host PLANNER_AIF_PANDA at every
+    tick of a full episode (the gate is what lets the panda loop chunk)."""
+    import jax.numpy as jnp
+
+    cfg = load_config("config_panda", ["mppi.num_samples=64"])
+    loop = SimLoop(cfg)
+    loop.warmup(20)
+    gate = jax.jit(loop.tamp._panda_gate_device)
+    stage = jnp.asarray(0, jnp.int32)
+    stage_task = ("reach", "pick", "place")
+    dev_seq, host_seq = [], []
+    for i in range(400):
+        # device gate BEFORE the host tick mutates the latches
+        task_dev, stage, success_dev = gate(loop.state, stage)
+        done = loop.tick(i)
+        dev_seq.append(stage_task[int(stage)])
+        host_seq.append(loop.tamp.task_planner.task)
+        if done:
+            assert bool(success_dev) or host_seq[-1] == "place", i
+            break
+    assert done
+    # same switch sequence; the gate may LEAD the host AIF by one tick at
+    # each switch (the AIF's belief update adds one tick of inertia after
+    # the observation threshold flips), so compare with a <=2-tick slack
+    mismatches = sum(d != h for d, h in zip(dev_seq, host_seq))
+    assert mismatches <= 2 * 2, (mismatches, list(zip(dev_seq, host_seq)))
+
+    def switches(seq):
+        return [s for i, s in enumerate(seq) if i == 0 or seq[i - 1] != s]
+
+    assert switches(dev_seq) == switches(host_seq), (
+        switches(dev_seq), switches(host_seq)
+    )
+
+
+def test_panda_chunked_completes_pick_place():
+    """Chunked panda execution (on-device gate, scan of N ticks per dispatch)
+    completes the pick-place task like the per-tick path."""
+    cfg = load_config("config_panda", ["mppi.num_samples=64"])
+    loop = SimLoop(cfg)
+    loop.warmup(20)
+    log = loop.run_chunked(600, chunk=10)
+    assert log.success_step is not None, (
+        f"chunked panda did not finish; task={loop.tamp.task_planner.task}"
+    )
