@@ -183,8 +183,8 @@ def _corner_pens(cx, cy, cc, cs, hxa, hya, bx, by, bc, bs, hxb, hyb):
 
 def _rollout_kernel(
     task_ref,  # SMEM [4]: task_id, goal_x, goal_y, k0 (global sample offset)
-    acts_ref,  # VMEM [T, 2, Kp]
-    state_ref,  # VMEM [4 + 6D, Kp]
+    acts_ref,  # VMEM [T, n_u, Kp]
+    state_ref,  # VMEM [2*n_q + 6D, Kp]
     cost_ref,  # VMEM out [T, Kp]
     trajx_ref,  # VMEM out [T, Kp]
     trajy_ref,  # VMEM out [T, Kp]
@@ -210,15 +210,23 @@ def _rollout_kernel(
     gcol = col.astype(jnp.float32) + k0
     mode1 = (gcol >= P["half_K"]) & (gcol < P["K"])  # second-half samples
 
+    # robot base family (point_env.py robot_type): "point" (2-dof omni),
+    # "heijn" (3-dof omni), "boxer" (2-wheel differential drive)
+    n_q = P["n_q"]
+    n_u = P["n_u"]
+    rtype = P["robot_type"]
+
     # unpack state rows -> [1, Kp] registers
     def row(i):
         return state_ref[i : i + 1, :]
 
     qx, qy = row(0), row(1)
-    qdx, qdy = row(2), row(3)
+    qyaw = row(2) if n_q == 3 else jnp.zeros((1, Kp), jnp.float32)
+    qdx, qdy = row(n_q), row(n_q + 1)
+    qdyaw = row(n_q + 2) if n_q == 3 else jnp.zeros((1, Kp), jnp.float32)
     dp = []  # per dyn box: [x, y, yaw, vx, vy, om]
     for i in range(D):
-        b = 4 + 6 * i
+        b = 2 * n_q + 6 * i
         dp.append([row(b), row(b + 1), row(b + 2), row(b + 3), row(b + 4), row(b + 5)])
 
     # suction ext-force carry (pull cost -> next step), zero at t=0
@@ -233,21 +241,33 @@ def _rollout_kernel(
     # time loop as fori_loop (NOT unrolled: the T x substeps x pos_iters x
     # contact-pass nest is ~10k vector statements per step already)
     def t_body(t, carry):
-        (qx, qy, qdx, qdy, flat_dp, ext_rx, ext_ry, ext_bx, ext_by) = carry
+        (qx, qy, qyaw, qdx, qdy, qdyaw, flat_dp,
+         ext_rx, ext_ry, ext_bx, ext_by) = carry
         dp = [list(flat_dp[6 * i : 6 * i + 6]) for i in range(D)]
         # actions arrive pre-scaled (the caller applies u_scale, matching
         # MPPI._command_halton's `u_scale * act_seq` at the _rollout boundary)
-        ux = acts_ref[t, 0:1, :]
-        uy = acts_ref[t, 1:2, :]
+        u = [acts_ref[t, c : c + 1, :] for c in range(n_u)]
         f_obs_x = jnp.zeros((1, Kp), jnp.float32)
         f_obs_y = jnp.zeros((1, Kp), jnp.float32)
 
         for _ in range(P["substeps"]):
-            # velocity integration + drive
+            # velocity integration + drive (point_env.py:288-312)
             qdx = qdx + ext_rx * (wm_r * h)
             qdy = qdy + ext_ry * (wm_r * h)
-            qdx = ux + (qdx - ux) * decay
-            qdy = uy + (qdy - uy) * decay
+            if rtype == "boxer":
+                # wheel speeds -> base twist (diff-drive, current yaw)
+                v = P["wheel_radius"] * (u[0] + u[1]) * 0.5
+                omt = P["wheel_radius"] * (u[1] - u[0]) / P["wheel_base"]
+                tx_ = v * jnp.cos(qyaw)
+                ty_ = v * jnp.sin(qyaw)
+                qdx = tx_ + (qdx - tx_) * decay
+                qdy = ty_ + (qdy - ty_) * decay
+                qdyaw = omt + (qdyaw - omt) * decay
+            else:
+                qdx = u[0] + (qdx - u[0]) * decay
+                qdy = u[1] + (qdy - u[1]) * decay
+                if n_q == 3:  # heijn: world-frame yaw-rate channel
+                    qdyaw = u[2] + (qdyaw - u[2]) * decay
             # robot speed cap (point_env.py:310-312): without it ±500 N
             # suction forces can tunnel the robot through wall junctions,
             # letting the planner pick physically impossible pull plans
@@ -283,6 +303,8 @@ def _rollout_kernel(
                 dp[i] = [x, y, yaw, vx, vy, om]
             qx = qx + qdx * h
             qy = qy + qdy * h
+            if n_q == 3:
+                qyaw = qyaw + qdyaw * h
 
             for _ in range(P["pos_iters"]):
                 # pass 1: robot circle vs each dynamic box — Jacobi: all D
@@ -506,14 +528,16 @@ def _rollout_kernel(
         trajx_ref[pl.ds(t, 1), :] = qx
         trajy_ref[pl.ds(t, 1), :] = qy
         flat_out = tuple(v for b in dp for v in b)
-        return (qx, qy, qdx, qdy, flat_out, ext_rx, ext_ry, ext_bx, ext_by)
+        return (qx, qy, qyaw, qdx, qdy, qdyaw, flat_out,
+                ext_rx, ext_ry, ext_bx, ext_by)
 
     init_flat = tuple(v for b in dp for v in b)
     jax.lax.fori_loop(
         0,
         P["T"],
         t_body,
-        (qx, qy, qdx, qdy, init_flat, ext_rx, ext_ry, ext_bx, ext_by),
+        (qx, qy, qyaw, qdx, qdy, qdyaw, init_flat,
+         ext_rx, ext_ry, ext_bx, ext_by),
     )
 
 
@@ -536,7 +560,10 @@ def make_point_rollout(
     CPU suite can check kernel-vs-XLA cost/trajectory parity without a TPU
     (single-sources the drift check the TPU-gated tests otherwise own).
     """
-    if not ((pallas_available() or interpret) and env_params.robot_type == "point"):
+    if not (
+        (pallas_available() or interpret)
+        and env_params.robot_type in ("point", "heijn", "boxer")
+    ):
         return None
 
     D = int(env_params.dyn_half.shape[0])
@@ -579,6 +606,11 @@ def make_point_rollout(
         dynobs_slot=dynobs_slot,
         multi_modal=bool(multi_modal),
         kp_suction=float(kp_suction),
+        robot_type=env_params.robot_type,
+        n_q=3 if env_params.robot_type in ("heijn", "boxer") else 2,
+        n_u=3 if env_params.robot_type == "heijn" else 2,
+        wheel_radius=float(env_params.wheel_radius),
+        wheel_base=float(env_params.wheel_base),
     )
     # pallas_call construction is memoized per LOCAL sample count so the same
     # rollout callable works unsharded (K_loc == K) and inside a shard_map
@@ -627,20 +659,19 @@ def make_point_rollout(
         call, Kp = _get_call(K_loc)
         # single start state (all K identical by construction)
         s0 = jax.tree_util.tree_map(lambda x: x[0], sim_state_k)
-        rows = [
-            s0.q[0], s0.q[1], s0.qd[0], s0.qd[1],
-        ]
+        n_q, n_u = P["n_q"], P["n_u"]
+        rows = [s0.q[i] for i in range(n_q)] + [s0.qd[i] for i in range(n_q)]
         for i in range(D):
             rows += [
                 s0.dyn_pos[i, 0], s0.dyn_pos[i, 1], s0.dyn_yaw[i],
                 s0.dyn_vel[i, 0], s0.dyn_vel[i, 1], s0.dyn_om[i],
             ]
         state_packed = jnp.broadcast_to(
-            jnp.stack(rows)[:, None], (4 + 6 * D, Kp)
+            jnp.stack(rows)[:, None], (2 * n_q + 6 * D, Kp)
         ).astype(jnp.float32)
 
         acts_t = jnp.swapaxes(acts, 0, 1)  # [T, K_loc, nu]
-        acts_p = jnp.zeros((T, 2, Kp), jnp.float32)
+        acts_p = jnp.zeros((T, n_u, Kp), jnp.float32)
         acts_p = acts_p.at[:, :, :K_loc].set(jnp.swapaxes(acts_t, 1, 2))
 
         k0v = jnp.zeros((), jnp.float32) if k0 is None else jnp.asarray(k0, jnp.float32)

@@ -450,8 +450,11 @@ class MPPI:
         exp_ = jnp.exp((-1.0 / beta) * total)
         eta = jnp.sum(exp_)
         weights = exp_ / eta
-        if self.env_type == "panda_env":
-            # single-step beta adaptation, bounds 20/10 (mppi.py:446-454)
+        if self.env_type in ("panda_env", "boxer_env"):
+            # single-step beta adaptation, bounds 20/10 (mppi.py:446-454).
+            # Enabled for the boxer too (no reference anchor — it ships no
+            # boxer tasks): with fixed beta=1 the near-goal weights collapse
+            # to argmax and the nonholonomic base parks ~0.2 m out.
             beta = jnp.where(eta > 20.0, beta * 0.9, jnp.where(eta < 10.0, beta * 1.2, beta))
         return weights, beta
 

@@ -228,9 +228,14 @@ class SimLoop:
     def _run_chunked_panda(self, n_steps: int, chunk: int) -> TickLog:
         """Chunked panda execution: per-tick symbolic switches stay EXACT
         because the AIF gate runs on-device inside the scan
-        (ReactiveTAMP._panda_gate_device) — no chunk-boundary plan delay."""
+        (ReactiveTAMP._panda_gate_device) — no chunk-boundary plan delay.
+
+        The symbolic stage persists on the loop (``self._panda_stage``), so
+        interrupting a run to perturb the scene (reactive scenarios) and
+        calling run_chunked again resumes the plan, like the host planner's
+        latches do on the per-tick path."""
         _STAGE_TASK = ("reach", "pick", "place")
-        stage = 0
+        stage = getattr(self, "_panda_stage", 0)
         i = 0
         while i < n_steps:
             t0 = time.perf_counter()
@@ -243,6 +248,7 @@ class SimLoop:
             t1 = time.perf_counter()
             self.tamp.mppi_state, self.state = ms, rs
             stage = int(stage_dev)
+            self._panda_stage = stage
             per = (t1 - t0) / chunk
             done_at = None
             for k in range(chunk):

@@ -31,6 +31,8 @@ def main(argv) -> None:
     n_runs = 20
     out = None
     chunked = 0
+    reactive_perturb = 0.0
+    seed_offset = 0
     config_name = "config_point"
     passthrough = []
     it = iter(range(len(argv)))
@@ -41,6 +43,10 @@ def main(argv) -> None:
             n_runs = int(a.split("=", 1)[1])
         elif a.startswith("chunked="):
             chunked = int(a.split("=", 1)[1])
+        elif a.startswith("reactive_perturb="):
+            reactive_perturb = float(a.split("=", 1)[1])
+        elif a.startswith("seed_offset="):
+            seed_offset = int(a.split("=", 1)[1])
         elif a.startswith("out="):
             out = a.split("=", 1)[1]
         elif a in ("-cn", "--config-name"):
@@ -57,7 +63,7 @@ def main(argv) -> None:
     logger = RunLogger(out)
     successes = 0
     for run in range(n_runs):
-        cfg.mppi.seed_val = run  # seeds both sampling and domain noise
+        cfg.mppi.seed_val = run + seed_offset  # seeds sampling + domain noise
         t0 = time.time()
         loop = SimLoop(cfg)
         loop.warmup(20)
@@ -65,7 +71,27 @@ def main(argv) -> None:
         # essential through a remote-attached chip where each dispatch
         # costs tens of ms; panda uses the on-device AIF gate so symbolic
         # switches stay per-tick exact
-        log = loop.run_chunked(cfg.n_steps, chunk=chunked) if chunked else loop.run(cfg.n_steps)
+        if reactive_perturb and is_panda:
+            # the reference's "reactive" scenario: the cube is shoved
+            # mid-reach (play_with_cube analogue, isaacgym_wrapper.py:413)
+            if chunked:
+                log = loop.run_chunked(40, chunk=chunked)
+                if log.success_step is None:
+                    loop.perturb_body("cubeA", [0.0, reactive_perturb, 0.0])
+                    log = loop.run_chunked(cfg.n_steps, chunk=chunked)
+            else:
+                done = False
+                for i in range(cfg.n_steps):
+                    if i == 40:
+                        loop.perturb_body("cubeA", [0.0, reactive_perturb, 0.0])
+                    done = loop.tick(i)
+                    if done:
+                        break
+                log = loop.log
+        elif chunked:
+            log = loop.run_chunked(cfg.n_steps, chunk=chunked)
+        else:
+            log = loop.run(cfg.n_steps)
         ok = log.success_step is not None
         successes += int(ok)
         if is_panda:

@@ -83,12 +83,12 @@ def test_fused_rollout_matches_xla_path():
 # interpret-mode goldens: run on CPU in the default suite
 # ---------------------------------------------------------------------------
 
-def _build_tamp(K=32, T=12):
+def _build_tamp(K=32, T=12, config_name="config_point"):
     from m3p2i_aip_tpu.config.config_store import load_config
     from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
 
     cfg = load_config(
-        "config_point",
+        config_name,
         [
             "task=push_pull",
             "multi_modal=True",
@@ -120,8 +120,12 @@ def test_multimodal_weights_interpret_matches_jax_cpu():
 
 
 @pytest.mark.slow
-def test_fused_rollout_interpret_matches_xla_cpu():
-    """Kernel-vs-XLA rollout parity on CPU (interpret mode).
+@pytest.mark.parametrize(
+    "config_name", ["config_point", "config_heijn", "config_boxer"]
+)
+def test_fused_rollout_interpret_matches_xla_cpu(config_name):
+    """Kernel-vs-XLA rollout parity on CPU (interpret mode), all three
+    point-family robot bases (2-dof omni / 3-dof omni / diff-drive).
 
     Start states include the cases where the kernel's physics shortcuts
     would diverge first: wall junction (multi-contact), box contact, and a
@@ -142,7 +146,7 @@ def test_fused_rollout_interpret_matches_xla_cpu():
         PointObjective,
     )
 
-    cfg, tamp = _build_tamp()
+    cfg, tamp = _build_tamp(config_name=config_name)
     mp = tamp.motion_planner
     full = tamp.env.params
     red = full.replace(
@@ -197,15 +201,22 @@ def test_fused_rollout_interpret_matches_xla_cpu():
     ]
     # compile ONCE; task/state/acts are traced args (interpret-mode compiles
     # of the full rollout program are minutes each on CPU)
+    n_q = 3 if full.robot_type in ("heijn", "boxer") else 2
+    n_u = 3 if full.robot_type == "heijn" else 2
     ref_fn = jax.jit(_xla_rollout)
     pl_fn = jax.jit(lambda s, a, t: ov(s, a, t))
     for q0, qd0 in starts:
+        if n_q == 3:  # 3-dof bases carry yaw in q[2]
+            q0 = jnp.concatenate([q0, jnp.asarray([0.3])])
+            qd0 = jnp.concatenate([qd0, jnp.asarray([0.5])])
         state = tamp.env.init_state().replace(q=q0, qd=qd0)
         tp = tamp.tamp_interface(state)
         sK = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (K,) + x.shape), state
         )
-        acts = jnp.asarray(rng.uniform(-3, 3, size=(K, T, 2)).astype(np.float32))
+        acts = jnp.asarray(
+            rng.uniform(-3, 3, size=(K, T, n_u)).astype(np.float32)
+        )
 
         ch_ref, tps_ref = ref_fn(sK, acts, tp)
         ch_pl, tps_pl = pl_fn(sK, acts, tp)
