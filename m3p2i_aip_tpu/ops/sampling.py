@@ -10,8 +10,15 @@ is no per-step host work.  A native C accelerator is provided in
 ``_native_halton``); results are identical by construction.
 
 The unscrambled sequence matches the reference's ``use_ghalton=False`` path
-exactly.  Scrambling uses deterministic seeded digit permutations (same idea as
-generalized Halton; the exact ghalton EA permutation tables are not reproduced).
+exactly.  Scrambling uses deterministic seeded digit permutations (same idea
+as generalized Halton).  The ghalton ``use_ghalton=True`` path is NOT
+bit-reproduced, deliberately: its per-base permutations are the output of
+Faure & Lemieux's evolutionary search (ACM TOMS 2009) — opaque constant
+tables shipped inside the C++ package, not derivable from an algorithm — so
+bit parity would require vendoring the tables verbatim.  Statistical
+equivalence (low-discrepancy scrambled Halton) is what MPPI consumes; the
+sampler goldens in tests/test_ops.py pin OUR permutations so the sequence is
+reproducible run-to-run and seed-to-seed.
 """
 from __future__ import annotations
 

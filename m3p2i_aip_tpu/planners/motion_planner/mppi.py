@@ -153,6 +153,12 @@ class MPPIState:
     weights: jnp.ndarray  # [K] last importance weights
     cov_action: jnp.ndarray  # [nu] diagonal sampling covariance (mppi.py:175, 508-516)
     rng: jax.Array  # PRNG key for 'random' sampling
+    # Seeded Halton-spline deltas [K, T, nu] as a TRACED leaf, not a
+    # closed-over constant: baked-in deltas made every seed a different HLO
+    # constant -> a full XLA recompile per seeded run (dominated experiment-
+    # batch wall time; the persistent cache can't help when the program
+    # itself changes).
+    halton_delta: jnp.ndarray = None
 
 
 class MPPI:
@@ -330,6 +336,14 @@ class MPPI:
         samples[-1] = 0.0  # zero-noise sequence so the mean is always sampled
         return samples
 
+    def reseed(self, seed_val: int) -> None:
+        """Re-seed the sampler WITHOUT retracing: the Halton deltas and the
+        PRNG key live in MPPIState (traced data), so a fresh
+        ``init_state()`` after this reuses the compiled program — one XLA
+        compile serves a whole seeded experiment batch."""
+        self.seed_val = int(seed_val)
+        self._delta = jnp.asarray(self._make_halton_spline_deltas())
+
     def init_state(self, rng: Optional[jax.Array] = None) -> MPPIState:
         z = jnp.zeros((self.T, self.nu), dtype=jnp.float32)
         rng = rng if rng is not None else jax.random.PRNGKey(self.seed_val)
@@ -358,6 +372,7 @@ class MPPI:
                 np.diagonal(self.noise_sigma), dtype=jnp.float32
             ),
             rng=rng,
+            halton_delta=self._delta,
         )
 
     # --------------------------------------------------------------- helpers
@@ -611,7 +626,7 @@ class MPPI:
             delta = delta.at[-1].set(0.0)
             state = state.replace(rng=rng)
         else:
-            delta = self._delta
+            delta = state.halton_delta
             if self.exploration_noise > 0.0:
                 # Tiny per-tick jitter on the cached Halton deltas.  The
                 # reference's planner is equally deterministic but rides a

@@ -75,6 +75,21 @@ class SimLoop:
         self.log = TickLog()
         self._view: Optional[dict] = None  # host copy of the current obs
 
+    def reset(self, seed_val: Optional[int] = None) -> None:
+        """Reset for a fresh seeded run WITHOUT rebuilding (and so without
+        retracing/recompiling) the planner — the sampler seed lives in
+        traced MPPIState data (MPPI.reseed)."""
+        if seed_val is not None:
+            self.cfg.mppi.seed_val = seed_val
+            self.tamp.motion_planner.reseed(seed_val)
+        self.tamp.mppi_state = self.tamp.motion_planner.init_state()
+        self.tamp.task_planner.reset_plan()
+        self.tamp.task_success = False
+        self.state = self.env.init_state()
+        self.log = TickLog()
+        self._view = None
+        self._panda_stage = 0
+
     def warmup(self, n: int = 150) -> None:
         """Settle the scene before planning (sim.py:32-33)."""
         zero_u = jnp.zeros(self.env.nu)

@@ -60,12 +60,26 @@ def main(argv) -> None:
     family = "panda" if is_panda else "point"
     out = out or f"plot/{family}/{cfg.task}{'_mm' if cfg.multi_modal else ''}.npy"
 
+    # domain randomization (size/friction noise) is baked into env params at
+    # build time, so those scenes need a rebuild per seed; everything else
+    # reuses one traced+compiled planner across seeds (MPPI.reseed)
+    from m3p2i_aip_tpu.sim.sim_config import load_env_cfgs
+
+    wants_domain_noise = any(
+        a.noise_percentage_friction or a.noise_sigma_size
+        for a in load_env_cfgs(cfg.env_type)
+    )
+
     logger = RunLogger(out)
     successes = 0
+    loop = None
     for run in range(n_runs):
         cfg.mppi.seed_val = run + seed_offset  # seeds sampling + domain noise
         t0 = time.time()
-        loop = SimLoop(cfg)
+        if loop is None or wants_domain_noise:
+            loop = SimLoop(cfg)
+        else:
+            loop.reset(cfg.mppi.seed_val)
         loop.warmup(20)
         # chunked=N runs N full ticks per device dispatch (lax.scan) —
         # essential through a remote-attached chip where each dispatch
