@@ -77,6 +77,9 @@ class PointEnvParams:
     # robot
     robot_mass: float = struct.field(pytree_node=False, default=10.0)
     robot_radius: float = struct.field(pytree_node=False, default=0.2)
+    # innermost wall-face coordinate of a closed axis-aligned arena
+    # (0 = no closed arena); the robot is clamped inside it (see build_params)
+    arena_bound: float = struct.field(pytree_node=False, default=0.0)
     drive_rate: float = struct.field(pytree_node=False, default=60.0)
     robot_friction: float = struct.field(pytree_node=False, default=0.05)
     # robot family: "point" (2-dof omni, pointRobot.urdf), "heijn" (3-dof
@@ -186,7 +189,24 @@ def build_params(
         elif "heijn" in urdf:
             robot_type, robot_radius, robot_mass = "heijn", 0.35, 30.0
 
+    # closed-arena bound: innermost face of the axis-aligned boundary walls.
+    # A squeezed contact chain (box pinned by +-500 N suction against a wall
+    # with the robot in between) can walk the robot's PBD projection across
+    # a thin wall's midplane, after which it resolves to the OUTSIDE — a
+    # physically impossible escape PhysX's closed arena forbids by
+    # construction.  The robot is clamped to this bound every substep.
+    arena_bound = 0.0
+    for a in actors:
+        if a.type == "box" and a.collision and a.fixed and "wall" in a.name:
+            # wall thickness = the smaller footprint extent (walls may be
+            # yaw-rotated, e.g. the north/south walls reuse the [0.1, 8]
+            # east-wall shape rotated 90 deg)
+            thickness = min(a.size[0], a.size[1]) / 2
+            b = max(abs(a.init_pos[0]), abs(a.init_pos[1])) - thickness
+            arena_bound = b if arena_bound == 0.0 else min(arena_bound, b)
+
     return PointEnvParams(
+        arena_bound=float(arena_bound),
         stat_pos=jnp.asarray(stat[:, 0:2]),
         stat_yaw=jnp.asarray(stat[:, 2]),
         stat_half=jnp.asarray(stat[:, 3:5]),
@@ -460,6 +480,12 @@ def step(
             )
             q = q.at[:2].add(out[0].sum(0))
             qd = qd.at[:2].add(out[2].sum(0))
+
+        # closed-arena invariant (see build_params arena_bound): the robot
+        # can never end a substep outside the boundary walls
+        if params.arena_bound > 0.0:
+            lim = params.arena_bound - params.robot_radius
+            q = q.at[:2].set(jnp.clip(q[:2], -lim, lim))
 
     n_norm = params.substeps * params.pos_iters
     # assemble the actor-indexed contact_force by stacking in actor order

@@ -459,6 +459,12 @@ def _rollout_kernel(
                 qx, qy = qx + dqx, qy + dqy
                 qdx, qdy = qdx + dqdx, qdy + dqdy
 
+            # closed-arena invariant (point_env.py arena_bound clamp)
+            if P["arena_bound"] > 0.0:
+                lim = P["arena_bound"] - rr
+                qx = jnp.clip(qx, -lim, lim)
+                qy = jnp.clip(qy, -lim, lim)
+
         # ------------------------------------------------------------- cost
         # (parity: PointObjective.compute; mode flag = second half of K)
         n_norm = P["substeps"] * P["pos_iters"]
@@ -502,6 +508,11 @@ def _rollout_kernel(
                 P["stat_half"][s_i][0], P["stat_half"][s_i][1],
             )
             crush_pen = jnp.maximum(crush_pen, penw)
+        if P["arena_bound"] > 0.0:
+            # boundary contact counts as crush (PointObjective._pull)
+            lim_e = P["arena_bound"] - rr - 0.005
+            at_edge = jnp.maximum(jnp.abs(qx), jnp.abs(qy)) > lim_e
+            crush_pen = jnp.where(at_edge, 1.0, crush_pen)
         crush = jnp.where(crush_pen > 0.02, 1000.0, 0.0)
         pull = (3.0 * dist_cost + 3.0 * vel_cost
                 + 7.0 * jnp.maximum(-cos_theta, 0.0) + crush)
@@ -607,6 +618,7 @@ def make_point_rollout(
         multi_modal=bool(multi_modal),
         kp_suction=float(kp_suction),
         robot_type=env_params.robot_type,
+        arena_bound=float(env_params.arena_bound),
         n_q=3 if env_params.robot_type in ("heijn", "boxer") else 2,
         n_u=3 if env_params.robot_type == "heijn" else 2,
         wheel_radius=float(env_params.wheel_radius),

@@ -121,7 +121,16 @@ class PointObjective:
 
         align = jnp.maximum(-cos_theta, 0.0)  # (cost_functions.py:81-82)
         vel_cost = jnp.where(towards_block & (d_rb <= 0.5), 0.6, 0.0)
-        crush = jnp.where(self._wall_crush(state) > 0.02, 1000.0, 0.0)
+        crush_pen = self._wall_crush(state)
+        # the arena clamp (point_env.py arena_bound) stops wall penetration,
+        # so a squeezed robot now reads pen==0 while pinned at the boundary —
+        # count boundary contact itself as crush or the arbitration never
+        # vetoes pulls into zero-clearance pockets
+        if float(self.params.arena_bound) > 0.0:
+            lim = float(self.params.arena_bound) - float(self.params.robot_radius)
+            at_edge = jnp.max(jnp.abs(state.q[:2])) > lim - 0.005
+            crush_pen = jnp.where(at_edge, 1.0, crush_pen)
+        crush = jnp.where(crush_pen > 0.02, 1000.0, 0.0)
         cost = 3.0 * dist_cost + 3.0 * vel_cost + 7.0 * align + crush
 
         D = self.params.dyn_half.shape[0]

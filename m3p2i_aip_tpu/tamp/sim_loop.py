@@ -233,8 +233,9 @@ class SimLoop:
                     self._view
                 )
                 self._record(i + k, self._view, per, 0.0)
-                if self.tamp.task_success and done_at is None:
+                if self.tamp.task_success:
                     done_at = i + k
+                    break  # stop at the success tick so _view/log match it
             if done_at is not None:
                 break
             i += chunk

@@ -113,6 +113,21 @@ def main(argv) -> None:
             # runs 10000 ticks) — the logged row is the RELEASED, settled
             # cube.  Free-run past the success tick before logging.
             loop.settle(150)
+        elif ok:
+            # same protocol for the point tasks: the reference's planner
+            # keeps holding the box AT the goal for the rest of the episode,
+            # so its logged errors are the controller's steady state — run
+            # 40 more controlled ticks with the success gate off
+            orig_check = loop.tamp.task_planner.check_task_success
+            loop.tamp.task_planner.check_task_success = lambda v: False
+            loop.tamp.task_success = False
+            if chunked:
+                loop.run_chunked(40, chunk=chunked)
+            else:
+                for j in range(40):
+                    loop.tick(10_000 + j)
+            loop.tamp.task_planner.check_task_success = orig_check
+            loop.tamp.task_success = True
         view = loop._view
         if is_panda:
             logger.add(finalize_panda_row(view))
