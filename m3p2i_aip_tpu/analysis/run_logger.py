@@ -76,12 +76,17 @@ def finalize_panda_row(view: dict) -> np.ndarray:
 
 
 class RunLogger:
-    """Accumulate rows over repeated runs and save to .npy (appending)."""
+    """Accumulate rows over repeated runs and save to .npy.
 
-    def __init__(self, path: str):
+    ``append=True`` loads existing rows first (the reference's multi-session
+    accumulation style); the default OVERWRITES so a batch's saved stats are
+    exactly that batch's runs.
+    """
+
+    def __init__(self, path: str, append: bool = False):
         self.path = path
         self.rows: List[np.ndarray] = []
-        if os.path.exists(path):
+        if append and os.path.exists(path):
             existing = np.load(path)
             self.rows = [existing[i] for i in range(existing.shape[0])]
 
