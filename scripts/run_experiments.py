@@ -113,21 +113,11 @@ def main(argv) -> None:
             # runs 10000 ticks) — the logged row is the RELEASED, settled
             # cube.  Free-run past the success tick before logging.
             loop.settle(150)
-        elif ok:
-            # same protocol for the point tasks: the reference's planner
-            # keeps holding the box AT the goal for the rest of the episode,
-            # so its logged errors are the controller's steady state — run
-            # 40 more controlled ticks with the success gate off
-            orig_check = loop.tamp.task_planner.check_task_success
-            loop.tamp.task_planner.check_task_success = lambda v: False
-            loop.tamp.task_success = False
-            if chunked:
-                loop.run_chunked(40, chunk=chunked)
-            else:
-                for j in range(40):
-                    loop.tick(10_000 + j)
-            loop.tamp.task_planner.check_task_success = orig_check
-            loop.tamp.task_success = True
+        # point tasks log at the success tick: the reference's recorded
+        # errors sit just under the 0.1 success gate (0.056 push / 0.078
+        # pull), i.e. they reflect the crossing, not a held steady state —
+        # and a pull controller told to keep holding orbits the box around
+        # the goal (suction is impulsive), which matches neither
         view = loop._view
         if is_panda:
             logger.add(finalize_panda_row(view))
