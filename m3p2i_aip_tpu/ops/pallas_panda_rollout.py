@@ -511,7 +511,8 @@ def _panda_kernel(
         d_rg = [ee[i] - goal_r[i] for i in range(3)]
         reach = 10.0 * _norm3(d_rg) + 3.0 * tilt_cost
 
-        # pick (PandaObjective._pick): goal dist + flip-invariant ori + motion
+        # pick (PandaObjective._pick): goal dist + flip-invariant ori +
+        # re-grasp term (zero while held) + motion
         d_cg = [goal[i] - cAp[i] for i in range(3)]
         goal_cost = _norm3(d_cg)
         best = []
@@ -520,7 +521,9 @@ def _panda_kernel(
             dots = [jnp.abs(_dot3(g_ax, ax)) for ax in cube_axes]
             best.append(1.0 - jnp.maximum(jnp.maximum(dots[0], dots[1]), dots[2]))
         ori_cost = best[0] + best[1]
-        pick = 10.0 * goal_cost + 15.0 * ori_cost + motion_cost
+        d_ec = [ee[i] - cAp[i] for i in range(3)]
+        regrasp = 10.0 * _norm3(d_ec) * (1.0 - att)
+        pick = 10.0 * goal_cost + 15.0 * ori_cost + regrasp + motion_cost
 
         # place (PandaObjective._place)
         d_lr = [links["leftfinger"][i] - links["rightfinger"][i] for i in range(3)]

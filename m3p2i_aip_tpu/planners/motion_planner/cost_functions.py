@@ -236,7 +236,20 @@ class PandaObjective:
         cube_quat = state.body_quat[self.cubeA_slot]
         goal_cost = jnp.linalg.norm(task.goal[:3] - cube_pos)
         ori_cost = general_ori_cube2goal(cube_quat, task.goal[3:7])
-        return 10.0 * goal_cost + 15.0 * ori_cost + self._motion_cost(state)
+        # re-grasp term (extension, zero while the cube is held): the
+        # reference's pick cost has no EE term because PhysX friction grasps
+        # over a wide basin; our attach needs the fingertip within 5 cm of
+        # the cube center, and a missed/lost grasp otherwise leaves the arm
+        # with NO gradient back to the cube (observed: shelf seeds stalled
+        # in pick with the EE drifting away)
+        ee_pos, _ = self._fk(state)["ee"]
+        regrasp = (
+            10.0 * jnp.linalg.norm(ee_pos - cube_pos) * (1.0 - state.attached)
+        )
+        return (
+            10.0 * goal_cost + 15.0 * ori_cost + regrasp
+            + self._motion_cost(state)
+        )
 
     def _place(self, state):
         links = self._fk(state)
