@@ -39,11 +39,15 @@ def main() -> None:
     # chunked execution: every tick is a full K x T replan + real-env step,
     # scanned on-device so dispatch latency is amortized (the reference pays
     # an RPC + state sync + 2 queries per tick instead, sim.py:37-58)
-    chunk = 50
+    # 200 ticks per dispatch: the on-device tick is ~0.57 ms while a chunk
+    # boundary costs ~40 ms through the remote tunnel (host view unpack + one
+    # round trip), so chunk size sets the measured rate's ceiling.  Every
+    # tick remains a FULL K-rollout replan + real-env step.
+    chunk = 200
     for _ in range(2):  # compile + settle (2nd round catches signature drift)
         loop.run_chunked(chunk, chunk=chunk)
 
-    n = 200
+    n = 800
     t0 = time.perf_counter()
     done = 0
     while done < n:
