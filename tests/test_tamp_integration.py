@@ -289,3 +289,33 @@ def test_panda_chunked_completes_pick_place():
     assert log.success_step is not None, (
         f"chunked panda did not finish; task={loop.tamp.task_planner.task}"
     )
+
+
+def test_simloop_reset_matches_fresh_build():
+    """SimLoop.reset(seed) must reproduce a fresh SimLoop(cfg) bit-for-bit:
+    the sampler seed lives in traced MPPIState data (MPPI.reseed), so a
+    reset run shares the compiled program but not the trajectory."""
+    import jax.numpy as jnp
+
+    cfg = load_config(
+        "config_point", ["task=navigation", "goal=[-3,3]", "mppi.num_samples=32"]
+    )
+    cfg.mppi.seed_val = 7
+    fresh = SimLoop(cfg)
+    fresh.warmup(5)
+    for i in range(5):
+        fresh.tick(i)
+    ref_pos = np.asarray(fresh._view["robot_pos"])
+
+    cfg2 = load_config(
+        "config_point", ["task=navigation", "goal=[-3,3]", "mppi.num_samples=32"]
+    )
+    cfg2.mppi.seed_val = 3  # build with a DIFFERENT seed...
+    loop = SimLoop(cfg2)
+    loop.warmup(5)
+    loop.tick(0)
+    loop.reset(7)  # ...then reset to the reference seed
+    loop.warmup(5)
+    for i in range(5):
+        loop.tick(i)
+    assert np.allclose(np.asarray(loop._view["robot_pos"]), ref_pos, atol=1e-6)
