@@ -1,71 +1,108 @@
-"""Adaptive action selection with precondition back-chaining.
+"""Adaptive action selection: active inference with subgoal back-chaining.
 
-Behavioral port of
-``src/m3p2i_aip/planners/task_planner/adaptive_action_selection.py:12-84``:
-run active inference per MDP agent, check the chosen action's preconditions
-against the current state estimates, push unmet preconditions as high-priority
-preferences (value 2) while inhibiting the action, and loop until an
-executable action is found — or report failure when only idle remains.
+Given one agent per symbolic predicate, pick the next executable action: run
+state/policy inference, and when the winning action's preconditions are not
+believed true, push each missing state as a high-priority preference (weight
+2) on whichever agent owns it, inhibit the blocked action, and re-score.
+Inhibitions plus the drifting belief prior D surface alternatives on the
+re-score passes, which deliberately do NOT refresh state inference - only
+policy scoring (see :class:`~.ai_agent.AiAgent` docstring).
+
+Behavioral parity target: reference
+``planners/task_planner/adaptive_action_selection.py:12-84``. One deliberate
+deviation: the reference's refinement loop is unbounded (it polls
+``infer_policies`` forever if every agent settles on idle while alternatives
+are being sought); here the same polling runs up to ``MAX_REFINEMENT_ROUNDS``
+and then reports failure, so a planner tick can never hang.
 """
 from __future__ import annotations
 
-import numpy as np
+MAX_REFINEMENT_ROUNDS = 32
+
+FAILURE = ("failure", "idle_fail")
 
 
-def adapt_act_sel(agents, obs):
+def _as_agent_obs_pairs(agents, observations):
     if not isinstance(agents, list):
-        agents = [agents]
-        obs = [obs]
-    n = len(agents)
+        agents, observations = [agents], [observations]
+    return list(zip(agents, observations))
 
-    # Restore habits; drop pushed preferences that are already satisfied
-    # (adaptive_action_selection.py:23-30).
-    for i in range(n):
-        agents[i].reset_habits()
-        for idx in range(len(agents[i]._mdp.C)):
-            if agents[i]._mdp.C[idx] > 0 and idx == obs[i]:
-                agents[i].set_preferences(0, idx)
 
-    # Success short-circuit when a preferred state is observed (:32-38).
-    for i in range(n):
-        for idx in range(len(agents[i]._mdp.C)):
-            if agents[i]._mdp.C[idx] == 0 and idx == obs[i]:
-                return "success", "idle_success"
+def _settle_preferences(agent, obs) -> None:
+    """Start-of-tick housekeeping on one agent.
 
-    u = [-1] * n
-    current_states = ["null"] * n
-    looking_for_alternatives = False
-    max_rounds = 32  # safety bound; the reference loops unboundedly (:43)
+    Restore the habit prior (un-inhibit all actions) and retire any pushed
+    subgoal (positive log-preference) that the current observation shows has
+    been achieved.
+    """
+    agent.reset_habits()
+    if obs != "null" and agent.preference_weight(obs) > 0:
+        agent.set_preferences(0, obs)
 
-    for _ in range(max_rounds):
-        for i in range(n):
-            if obs[i] != "null":
-                if not looking_for_alternatives:
-                    agents[i].infer_states(obs[i])
-                _, u[i] = agents[i].infer_policies()
-                current_states[i] = agents[i]._mdp.state_names[
-                    int(np.argmax(agents[i].get_current_state()))
-                ]
 
-        if np.max(u) == 0:
-            if not looking_for_alternatives:
-                return "failure", "idle_fail"
-            return "failure", "idle_fail"
+def _goal_observed(agent, obs) -> bool:
+    """True when the observation is a desired state (log-preference == 0)."""
+    return obs != "null" and agent.preference_weight(obs) == 0
 
-        for i in range(n):
-            if u[i] > 0:
-                prec = agents[i]._mdp.preconditions[u[i]]
-                unmet = False
-                for item in prec:
-                    if item not in current_states and item != "none":
-                        unmet = True
-                        looking_for_alternatives = True
-                        for j in range(n):
-                            if item in agents[j]._mdp.state_names:
-                                agents[j].set_preferences(
-                                    2, agents[j]._mdp.state_names.index(item)
-                                )
-                        agents[i].reset_habits(u[i])
-                if not unmet:
-                    return "running", agents[i]._mdp.action_names[u[i]]
-    return "failure", "idle_fail"
+
+def push_subgoal(pairs, state_name: str) -> None:
+    """Mark ``state_name`` as a high-priority preference on its owner agent."""
+    for agent, _ in pairs:
+        names = agent._mdp.state_names
+        if state_name in names:
+            agent.set_preferences(2, names.index(state_name))
+
+
+def missing_preconditions(agent, action_index: int, believed_states) -> list:
+    """Preconditions of the action not currently believed true anywhere."""
+    return [
+        name
+        for name in agent._mdp.preconditions[action_index]
+        if name != "none" and name not in believed_states
+    ]
+
+
+def adapt_act_sel(agents, observations):
+    """Return ``(outcome, action_name)`` for the next tick.
+
+    Outcomes: ``("success", "idle_success")`` when a desired state is already
+    observed, ``("running", <action>)`` when an executable action is found,
+    ``("failure", "idle_fail")`` when every agent wants idle with no pushed
+    subgoals outstanding - or when the refinement bound is exhausted.
+    """
+    pairs = _as_agent_obs_pairs(agents, observations)
+
+    for agent, obs in pairs:
+        _settle_preferences(agent, obs)
+    if any(_goal_observed(agent, obs) for agent, obs in pairs):
+        return "success", "idle_success"
+
+    refining = False  # set once any subgoal has been pushed
+    for _ in range(MAX_REFINEMENT_ROUNDS):
+        proposals = []  # (agent, chosen action index) for agents with evidence
+        for agent, obs in pairs:
+            if obs == "null":
+                continue
+            if not refining:
+                agent.infer_states(obs)
+            _, action = agent.infer_policies()
+            proposals.append((agent, action))
+        believed = {agent.most_likely_state() for agent, _ in proposals}
+
+        if all(action == 0 for _, action in proposals):
+            if not refining:
+                return FAILURE
+            continue  # inhibitions/drifting D may surface an alternative
+
+        for agent, action in proposals:
+            if action == 0:
+                continue
+            missing = missing_preconditions(agent, action, believed)
+            if not missing:
+                return "running", agent._mdp.action_names[action]
+            refining = True
+            for state_name in missing:
+                push_subgoal(pairs, state_name)
+            agent.reset_habits(action)  # inhibit until preconditions hold
+
+    return FAILURE

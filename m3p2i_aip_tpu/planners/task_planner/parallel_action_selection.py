@@ -1,107 +1,96 @@
-"""Parallel action selection: emit lists of parallelizable plans.
+"""Parallel action selection: collect every currently-executable action.
 
-Behavioral port of
-``src/m3p2i_aip/planners/task_planner/parallel_action_selection.py:12-106``:
-unlike :func:`~.adaptive_action_selection.adapt_act_sel`, which stops at the
-first applicable action, this keeps searching after each hit (inhibiting found
-actions) and groups actions that touch disjoint MDP components into plans that
-can run in parallel.
+Where :func:`~.adaptive_action_selection.adapt_act_sel` stops at the first
+executable action, this variant keeps scoring after each hit - inhibiting
+found actions so the next pass surfaces the runner-up - and finally groups
+the collected actions into plans whose members touch disjoint predicates and
+can therefore run in parallel.
+
+Behavioral parity target: reference
+``planners/task_planner/parallel_action_selection.py:12-106``. Deviations,
+both deliberate: the search loop is bounded (the reference's is not), and
+plan grouping keeps discovery order within each plan (the reference round-
+trips plans through Python sets, which scrambles member order).
 """
 from __future__ import annotations
 
-import copy
+from m3p2i_aip_tpu.planners.task_planner.adaptive_action_selection import (
+    MAX_REFINEMENT_ROUNDS,
+    _as_agent_obs_pairs,
+    _goal_observed,
+    _settle_preferences,
+    missing_preconditions,
+    push_subgoal,
+)
 
-import numpy as np
+
+def _group_parallel_plans(found):
+    """Group found actions into plans over disjoint agents.
+
+    ``found`` is a list of ``(action_name, owner_index)``. Each found action
+    seeds one plan; the plan then absorbs, in discovery order, one action per
+    *other* owner. Plans containing the same action set are deduplicated.
+    """
+    plans, seen_action_sets = [], set()
+    for seed_name, seed_owner in found:
+        plan, owners = [seed_name], {seed_owner}
+        for name, owner in found:
+            if owner not in owners:
+                plan.append(name)
+                owners.add(owner)
+        action_set = frozenset(plan)
+        if action_set not in seen_action_sets:
+            seen_action_sets.add(action_set)
+            plans.append(plan)
+    return plans
 
 
-def par_act_sel(agents, obs):
-    if not isinstance(agents, list):
-        agents = [agents]
-        obs = [obs]
-    n = len(agents)
+def par_act_sel(agents, observations):
+    """Return ``(outcome, plans)`` where plans is a list of action lists.
 
-    some_action_found = 0
-    looking_for_alternatives = False
-    curr_action_plan = []
+    ``("success", ["idle_success", ...])`` when a desired state is observed
+    (one entry per satisfied agent), ``("running", <plans>)`` when at least
+    one executable action was found, ``("failure", [])`` otherwise.
+    """
+    pairs = _as_agent_obs_pairs(agents, observations)
 
-    # Restore habits; drop pushed preferences already satisfied (:24-31).
-    for i in range(n):
-        agents[i].reset_habits()
-        for idx in range(len(agents[i]._mdp.C)):
-            if agents[i]._mdp.C[idx] > 0 and idx == obs[i]:
-                agents[i].set_preferences(0, idx)
+    for agent, obs in pairs:
+        _settle_preferences(agent, obs)
+    satisfied = sum(_goal_observed(agent, obs) for agent, obs in pairs)
+    if satisfied:
+        return "success", ["idle_success"] * satisfied
 
-    # Success short-circuit when a preferred state is observed (:34-40).
-    for i in range(n):
-        for idx in range(len(agents[i]._mdp.C)):
-            if agents[i]._mdp.C[idx] == 0 and idx == obs[i]:
-                curr_action_plan.append("idle_success")
-                some_action_found = 1
-                break
+    found = []  # (action_name, owner agent index), in discovery order
+    refining = False
+    for _ in range(MAX_REFINEMENT_ROUNDS):
+        proposals = []  # (owner index, agent, chosen action index)
+        for owner, (agent, obs) in enumerate(pairs):
+            if obs == "null":
+                continue
+            if not refining:
+                agent.infer_states(obs)
+            _, action = agent.infer_policies()
+            proposals.append((owner, agent, action))
+        believed = {agent.most_likely_state() for _, agent, _ in proposals}
 
-    u = [-1] * n
-    current_states = ["null"] * n
-    outcome = "failure"
-    max_rounds = 32  # safety bound; the reference loops unboundedly (:45)
+        if all(action == 0 for _, _, action in proposals):
+            break  # every agent content with idle: search exhausted
 
-    rounds = 0
-    while "idle_success" not in curr_action_plan and rounds < max_rounds:
-        rounds += 1
-        for i in range(n):
-            if obs[i] != "null":
-                if not looking_for_alternatives:
-                    agents[i].infer_states(obs[i])
-                _, u[i] = agents[i].infer_policies()
-                current_states[i] = agents[i]._mdp.state_names[
-                    int(np.argmax(agents[i].get_current_state()))
-                ]
+        for owner, agent, action in proposals:
+            if action == 0:
+                continue
+            missing = missing_preconditions(agent, action, believed)
+            if missing:
+                refining = True
+                for state_name in missing:
+                    push_subgoal(pairs, state_name)
+                agent.reset_habits(action)
+            else:
+                # Executable: record it, then inhibit it so the next pass
+                # can surface this agent's runner-up action.
+                found.append((agent._mdp.action_names[action], owner))
+                agent.reset_habits(action)
 
-        # All idle: stop — failure if nothing was ever found (:52-59).
-        if np.max(u) == 0:
-            if not looking_for_alternatives and some_action_found == 0:
-                outcome = "failure"
-            break
-
-        for i in range(n):
-            if u[i] > 0:
-                prec = agents[i]._mdp.preconditions[u[i]]
-                unmet = False
-                for item in prec:
-                    if item not in current_states and item != "none":
-                        unmet = True
-                        looking_for_alternatives = True
-                        # push the missing state as a high-priority prior (:73-78)
-                        for j in range(n):
-                            if item in agents[j]._mdp.state_names:
-                                agents[j].set_preferences(
-                                    2, agents[j]._mdp.state_names.index(item)
-                                )
-                        agents[i].reset_habits(u[i])
-                if not unmet:
-                    # action applicable: record it, inhibit it, keep looking (:81-85)
-                    agents[i].reset_habits(u[i])
-                    some_action_found += 1
-                    outcome = "running"
-                    curr_action_plan.append(
-                        [agents[i]._mdp.action_names[u[i]], i]
-                    )
-
-    # Parallelize applicable actions over disjoint components (:88-104).
-    parall_plans = []
-    if "idle_success" not in curr_action_plan:
-        for index in range(len(curr_action_plan)):
-            parall_plans.append(list(copy.deepcopy(curr_action_plan[index])))
-            for k in range(len(curr_action_plan)):
-                if curr_action_plan[k][1] not in parall_plans[index]:
-                    parall_plans[index].append(copy.deepcopy(curr_action_plan[k][0]))
-                    parall_plans[index].append(copy.deepcopy(curr_action_plan[k][1]))
-        for index in range(len(curr_action_plan)):
-            parall_plans[index] = [
-                x for x in parall_plans[index] if not isinstance(x, int)
-            ]
-        parall_plans = list(map(list, set(map(tuple, map(set, parall_plans)))))
-    else:
-        outcome = "success"
-        parall_plans = curr_action_plan
-
-    return outcome, parall_plans
+    if not found:
+        return "failure", []
+    return "running", _group_parallel_plans(found)
