@@ -33,8 +33,10 @@ def main() -> None:
     loop = SimLoop(cfg)
     loop.warmup(50)
     # keep replanning forever: the benchmark measures sustained replan rate,
-    # not task completion (the box reaches the goal within the settle phase)
+    # not task completion (the box reaches the goal within the settle phase).
+    # Both gates off: the host check and the on-device early-exit latch.
     loop.tamp.task_planner.check_task_success = lambda view: False
+    loop.tamp.device_gate = False
 
     # chunked execution: every tick is a full K x T replan + real-env step,
     # scanned on-device so dispatch latency is amortized (the reference pays

@@ -279,3 +279,21 @@ def update_dyn_obs(env: Env, state, i: int, period: int = 100):
             dyn_pos=state.dyn_pos.at[env.dyn_obs_slot].add(off)
         )
     return state
+
+
+def command_world_vel(params, q, action):
+    """World-frame commanded base velocity of a point-family robot.
+
+    The suction alignment gate (skill_utils.check_suction_condition parity)
+    compares the COMMANDED velocity direction with the robot->box direction;
+    for the boxer the action channels are wheel speeds, so they must go
+    through the diff-drive FK (wheel radius x mean speed along the heading)
+    before the dot product — raw ``action[:2]`` would gate on meaningless
+    per-wheel values.  Point/heijn actions are already world velocities.
+    """
+    import jax.numpy as jnp
+
+    if getattr(params, "robot_type", "point") == "boxer":
+        v = params.wheel_radius * (action[..., 0] + action[..., 1]) * 0.5
+        return v * jnp.stack([jnp.cos(q[2]), jnp.sin(q[2])])
+    return action[..., :2]

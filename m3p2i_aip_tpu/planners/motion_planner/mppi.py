@@ -62,6 +62,12 @@ class MPPIConfig:
     # :198 are dead upstream).
     update_lambda: bool = False
     update_cov: bool = False
+    # Per-mode diagonal covariance adaptation for the multi-modal path
+    # (extension; the reference's update_cov lives only in the single-mode
+    # update, mppi.py:508-516).  Each mode's sampling scale tracks its own
+    # weighted second moment, so e.g. the losing mode keeps exploring wide
+    # while the winning mode sharpens.
+    update_cov_per_mode: bool = False
     u_min: Optional[List[float]] = None
     u_max: Optional[List[float]] = None
     u_init: float = 0.0
@@ -152,6 +158,8 @@ class MPPIState:
     beta: jnp.ndarray  # adaptive inverse temperature (persistent, mppi.py:446-454)
     weights: jnp.ndarray  # [K] last importance weights
     cov_action: jnp.ndarray  # [nu] diagonal sampling covariance (mppi.py:175, 508-516)
+    cov_action_1: jnp.ndarray  # [nu] mode-0 covariance (update_cov_per_mode)
+    cov_action_2: jnp.ndarray  # [nu] mode-1 covariance (update_cov_per_mode)
     rng: jax.Array  # PRNG key for 'random' sampling
     # Seeded Halton-spline deltas [K, T, nu] as a TRACED leaf, not a
     # closed-over constant: baked-in deltas made every seed a different HLO
@@ -241,8 +249,11 @@ class MPPI:
                 "update_cov only applies to single-mode halton-spline MPPI "
                 "(the reference's covariance update lives in "
                 "_update_distribution, mppi.py:508-516, which the multi-modal "
-                "and simple paths never reach)"
+                "and simple paths never reach); for the multi-modal path use "
+                "update_cov_per_mode"
             )
+        if mcfg.update_cov_per_mode and not self.multi_modal:
+            raise ValueError("update_cov_per_mode requires multi_modal=True")
         self.squash_fn = "clamp"
         self.scale_tril = jnp.asarray(
             np.sqrt(np.diagonal(self.noise_sigma)), dtype=jnp.float32
@@ -369,6 +380,12 @@ class MPPI:
             beta=jnp.ones((), dtype=jnp.float32),
             weights=jnp.full((self.K,), 1.0 / self.K, dtype=jnp.float32),
             cov_action=jnp.asarray(
+                np.diagonal(self.noise_sigma), dtype=jnp.float32
+            ),
+            cov_action_1=jnp.asarray(
+                np.diagonal(self.noise_sigma), dtype=jnp.float32
+            ),
+            cov_action_2=jnp.asarray(
                 np.diagonal(self.noise_sigma), dtype=jnp.float32
             ),
             rng=rng,
@@ -542,7 +559,7 @@ class MPPI:
                 (1.0 - self.step_size_mean) * state.mean_action
                 + self.step_size_mean * new_mean
             )
-            return state.replace(
+            state = state.replace(
                 mean_action=mean,
                 mean_action_1=mean0,
                 mean_action_2=mean1,
@@ -550,6 +567,26 @@ class MPPI:
                 best_traj_2=best1,
                 weights=w,
             )
+            if self.cfg.update_cov_per_mode:
+                # per-mode analogue of the single-mode update below: each
+                # mode's masked weights (already normalized over the mode)
+                # drive its own second-moment estimate
+                def mode_cov(cov, w_m, mean_m):
+                    delta = actions - mean_m[None]
+                    second = jnp.mean(
+                        jnp.einsum("k,ktu->tu", w_m, delta**2), axis=0
+                    )
+                    return (
+                        (1.0 - self.step_size_cov) * cov
+                        + self.step_size_cov * second
+                        + self.kappa
+                    )
+
+                state = state.replace(
+                    cov_action_1=mode_cov(state.cov_action_1, w0, mean0),
+                    cov_action_2=mode_cov(state.cov_action_2, w1, mean1),
+                )
+            return state
         w, beta = self._exp_util(cost_horizon, state.beta)
         best = actions[jnp.argmax(w)]
         new_mean = jnp.einsum("k,ktu->tu", w, actions)
@@ -643,7 +680,17 @@ class MPPI:
                 state = state.replace(rng=rng)
 
         # (mppi.py:394); with update_cov the scale adapts per tick (:516)
-        scale = jnp.sqrt(state.cov_action) if self.cfg.update_cov else self.scale_tril
+        if self.cfg.update_cov:
+            scale = jnp.sqrt(state.cov_action)
+        elif self.multi_modal and self.cfg.update_cov_per_mode:
+            # each mode's half-batch samples with its own adapted scale
+            scale = jnp.where(
+                (self.sample_mode == 0)[:, None, None],
+                jnp.sqrt(state.cov_action_1)[None, None],
+                jnp.sqrt(state.cov_action_2)[None, None],
+            )
+        else:
+            scale = self.scale_tril
         scaled_delta = delta * scale
         if self.multi_modal:
             mean_m = jnp.where(

@@ -22,7 +22,12 @@ import numpy as np
 import os
 from functools import partial
 
-from m3p2i_aip_tpu.envs import Env, make_env, update_dyn_obs_device
+from m3p2i_aip_tpu.envs import (
+    Env,
+    command_world_vel,
+    make_env,
+    update_dyn_obs_device,
+)
 from m3p2i_aip_tpu.ops import general_ori_cube2goal
 from m3p2i_aip_tpu.planners.motion_planner import cost_functions
 from m3p2i_aip_tpu.planners.motion_planner.m3p2i import M3P2I
@@ -97,8 +102,12 @@ class ReactiveTAMP:
         self.suction_active = int(cfg.suction_active)
         self.top_trajs = None
         self._zero_action = jnp.zeros(self.env.nu)
+        # On-device success gate for chunked execution (False = benchmark
+        # mode: every tick replans regardless of goal distance).  Static jit
+        # arg, so flipping it costs one extra compile, not a per-tick branch.
+        self.device_gate = True
         self._tick_fused = jax.jit(self._tick_fused_impl)
-        self._run_chunk = jax.jit(self._run_chunk_impl, static_argnums=(4,))
+        self._run_chunk = jax.jit(self._run_chunk_impl, static_argnums=(4, 5))
         self._run_chunk_panda = jax.jit(
             self._run_chunk_panda_impl, static_argnums=(3,)
         )
@@ -193,7 +202,8 @@ class ReactiveTAMP:
             suction_on = jnp.asarray(bool(self.cfg.suction_active))
         task_ok = (task.task_id == 2) | (task.task_id == 3)
         dir_rb = robot_pos - box_pos
-        align_ok = jnp.sum(action[:2] * dir_rb) > 0
+        cmd_vel = command_world_vel(self.env.params, real_state.q, action)
+        align_ok = jnp.sum(cmd_vel * dir_rb) > 0
         dist_ok = jnp.linalg.norm(dir_rb) < 0.6
         on = suction_on & task_ok & align_ok & dist_ok
 
@@ -235,31 +245,76 @@ class ReactiveTAMP:
     def tick_fused(self, mppi_state, real_state, task, i):
         return self._tick_fused(mppi_state, real_state, task, jnp.asarray(i))
 
-    def _run_chunk_impl(self, mppi_state, real_state, task, i0, length: int):
-        """``length`` fused ticks under one lax.scan — one dispatch per chunk.
+    def _point_success_device(self, real_state, task):
+        """PLANNER_SIMPLE's success gate as traced data (task_planner.py:48-58
+        semantics: nav = robot strictly within 0.1 m, push-family = box within
+        0.1 m inclusive).  Tasks without a device gate (e.g. albert ee_reach)
+        never latch here; the host's chunk-boundary check still covers them."""
+        goal2 = task.goal[:2]
+        nav_ok = jnp.linalg.norm(real_state.q[:2] - goal2) < 0.1
+        names = list(self.env.params.actor_names)
+        if "box" in names:
+            slot = self.env.params.dyn_actor_idx.index(names.index("box"))
+            box_ok = jnp.linalg.norm(real_state.dyn_pos[slot] - goal2) <= 0.1
+        else:
+            box_ok = jnp.asarray(False)
+        push_family = (task.task_id >= 1) & (task.task_id <= 3)
+        return jnp.where(
+            task.task_id == 0, nav_ok, jnp.where(push_family, box_ok, False)
+        )
+
+    def _run_chunk_impl(
+        self, mppi_state, real_state, task, i0, length: int, gate: bool = True
+    ):
+        """Up to ``length`` fused ticks in one dispatch, stopping the moment
+        the success gate latches (lax.while_loop; VERDICT round-2 #7) so
+        chunked task-time stats match the per-tick path exactly and no
+        replans are wasted past the goal.  ``gate=False`` compiles the
+        benchmark variant that always runs the full chunk.
 
         Valid while the symbolic plan is constant across the chunk (always
         true for PLANNER_SIMPLE's fixed task, SURVEY.md §1 L4a); the host
         checks the per-tick packed views afterwards.
+        Returns (mppi_state, real_state, views [length, nv], n_ticks, done).
         """
+        nv = self.env.view_vec(real_state).shape[0]
 
-        def body(carry, k):
-            ms, rs = carry
+        def cond(carry):
+            k, _, _, done, _ = carry
+            return (k < length) & jnp.logical_not(done)
+
+        def body(carry):
+            k, ms, rs, done, buf = carry
             rs = update_dyn_obs_device(self.env, rs, i0 + k)
             pre_ms = ms  # pre-command weights, as in _tick_fused_impl
             action_seq, ms, aux = self.motion_planner._command_impl(ms, rs, task)
             action = action_seq[0]
             ext = self._suction_ext_device(pre_ms, rs, task, action)
             rs = self.env.step(rs, action, ext)
-            return (ms, rs), self.env.view_vec(rs)
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, self.env.view_vec(rs), k, axis=0
+            )
+            if gate:
+                done = self._point_success_device(rs, task)
+            return k + 1, ms, rs, done, buf
 
-        (mppi_state, real_state), views = jax.lax.scan(
-            body, (mppi_state, real_state), jnp.arange(length)
+        k, mppi_state, real_state, done, views = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                jnp.asarray(0, jnp.int32),
+                mppi_state,
+                real_state,
+                jnp.asarray(False),
+                jnp.zeros((length, nv)),
+            ),
         )
-        return mppi_state, real_state, views
+        return mppi_state, real_state, views, k, done
 
     def run_chunk(self, mppi_state, real_state, task, i0: int, length: int):
-        return self._run_chunk(mppi_state, real_state, task, jnp.asarray(i0), length)
+        return self._run_chunk(
+            mppi_state, real_state, task, jnp.asarray(i0), length, self.device_gate
+        )
 
     # --------------------------------------------- on-device panda AIF gate
     def _panda_gate_device(self, real_state, stage):

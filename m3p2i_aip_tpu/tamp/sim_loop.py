@@ -38,8 +38,11 @@ def real_suction_ext(cfg, env: Env, state, action):
         return ext
     box_pos = state.dyn_pos[box_slot]
     robot_pos = state.q[:2]  # 3-dof bases carry yaw in q[2]
+    from m3p2i_aip_tpu.envs import command_world_vel
+
+    cmd_vel = command_world_vel(env.params, state.q, action)
     if not skill_utils.check_suction_condition(
-        cfg.task, bool(cfg.suction_active), robot_pos, box_pos, action
+        cfg.task, bool(cfg.suction_active), robot_pos, box_pos, cmd_vel
     ):
         return ext
     f_box, f_robot = skill_utils.calculate_suction(
@@ -135,20 +138,71 @@ class SimLoop:
         vvec = jax.block_until_ready(vvec)
         t1 = time.perf_counter()
         self._view = self.env.view_unpack(vvec)
+        # gate on the FRESH post-step view so success is recorded at the
+        # crossing tick itself (the chunked path's on-device latch uses the
+        # same convention; checking only at the next tick's top would lag
+        # the logged task time by one tick)
+        self.tamp.task_success = self.tamp.task_planner.check_task_success(
+            self._view
+        )
         # replan and real-env step run in ONE fused program: the tick
         # duration is both the replan time and the sim time (cols 14/16 of
         # the reference log schema coincide in this architecture)
         return self._record(i, self._view, t1 - t0, t1 - t0)
 
-    def run(self, n_steps: int = 1000, realtime: bool = False, verbose: bool = False):
-        """Run until success or ``n_steps``. Parity: sim.py:36-58."""
+    def run(
+        self,
+        n_steps: int = 1000,
+        realtime: bool = False,
+        verbose: bool = False,
+        interactive: bool = False,
+    ):
+        """Run until success or ``n_steps``. Parity: sim.py:36-58.
+
+        ``interactive=True`` polls the terminal each tick so a human can
+        disturb the scene WHILE the planner runs (the reference's
+        play_with_cube viewer interaction, isaacgym_wrapper.py:413-437):
+        i/j/k/l shove the box (point) / cubeA (panda), v toggles a live
+        ASCII view with the planned top-trajectory overlay, q quits.
+        Degrades to a plain run when stdin is not a tty.
+        """
+        from m3p2i_aip_tpu.utils.teleop import SHOVE_KEYS, KeyboardTeleop
+
+        shove_target = "cubeA" if self.env.env_type == "panda_env" else "box"
+        show_view = False
         t = time.time()
-        for i in range(n_steps):
-            done = self.tick(i)
-            if realtime:
-                t = skill_utils.time_tracking(t, self.cfg.sim.dt, verbose=verbose)
-            if done:
-                break
+        with KeyboardTeleop(enabled=interactive) as keys:
+            if interactive and keys.active:
+                print(
+                    "interactive: i/j/k/l shove the "
+                    f"{shove_target}, v toggles the live view, q quits"
+                )
+            for i in range(n_steps):
+                if interactive:
+                    for key in keys.poll():
+                        if key == "q":
+                            return self.log
+                        if key == "v":
+                            show_view = not show_view
+                        elif key in SHOVE_KEYS:
+                            self.perturb_body(
+                                shove_target, list(SHOVE_KEYS[key]) + [0.0]
+                            )
+                done = self.tick(i)
+                if interactive and show_view and self.env.env_type == "point_env":
+                    from m3p2i_aip_tpu.utils.render import render_point_env
+
+                    trajs = self.tamp.get_trajs()
+                    sys_out = "\x1b[2J\x1b[H" + render_point_env(
+                        self.env,
+                        self.state,
+                        trajs=None if trajs is None else np.asarray(trajs),
+                    )
+                    print(sys_out)
+                if realtime:
+                    t = skill_utils.time_tracking(t, self.cfg.sim.dt, verbose=verbose)
+                if done:
+                    break
         return self.log
 
     def settle(self, n: int = 100) -> None:
@@ -219,15 +273,16 @@ class SimLoop:
             if self.tamp.task_success:
                 self._record(i, self._view, 0.0, 0.0)
                 break
-            ms, rs, views = self.tamp.run_chunk(
+            ms, rs, views, n_ticks, dev_done = self.tamp.run_chunk(
                 self.tamp.mppi_state, self.state, task_params, i, chunk
             )
             views = np.asarray(jax.block_until_ready(views))
             t1 = time.perf_counter()
             self.tamp.mppi_state, self.state = ms, rs
-            per = (t1 - t0) / chunk
+            n_ticks = int(n_ticks)  # the on-device gate stops mid-chunk
+            per = (t1 - t0) / max(n_ticks, 1)
             done_at = None
-            for k in range(chunk):
+            for k in range(n_ticks):
                 self._view = self.env.view_unpack(views[k])
                 self.tamp.task_success = self.tamp.task_planner.check_task_success(
                     self._view
@@ -236,6 +291,12 @@ class SimLoop:
                 if self.tamp.task_success:
                     done_at = i + k
                     break  # stop at the success tick so _view/log match it
+            if done_at is None and bool(dev_done):
+                # device gate latched but the host check disagreed at the
+                # float boundary: trust the device (its state is frozen there)
+                self.tamp.task_success = True
+                done_at = i + n_ticks - 1
+                self.log.success_step = done_at
             if done_at is not None:
                 break
             i += chunk

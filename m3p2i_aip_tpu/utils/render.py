@@ -13,15 +13,31 @@ from typing import Optional
 import numpy as np
 
 
-def render_point_env(env, state, width: int = 41, height: int = 21, extent: float = 4.2) -> str:
+def render_point_env(
+    env,
+    state,
+    width: int = 41,
+    height: int = 21,
+    extent: float = 4.2,
+    trajs: Optional[np.ndarray] = None,
+) -> str:
     """Top-down ASCII view of the point env: R robot, B box, D dyn-obs,
-    # statics, G goal."""
+    # statics; ``trajs`` [n, T, 2] overlays planned rollout points as ``.``
+    (the terminal analogue of the viewer's top-20 trajectory lines,
+    isaacgym_wrapper.py:374-391)."""
     grid = [[" "] * width for _ in range(height)]
 
     def to_cell(x, y):
         c = int((x + extent) / (2 * extent) * (width - 1))
         r = int((extent - y) / (2 * extent) * (height - 1))
         return min(max(r, 0), height - 1), min(max(c, 0), width - 1)
+
+    if trajs is not None:
+        tt = np.asarray(trajs)
+        for k in range(tt.shape[0]):
+            for t in range(tt.shape[1]):
+                r, c = to_cell(tt[k, t, 0], tt[k, t, 1])
+                grid[r][c] = "."
 
     p = env.params
     stat_pos = np.asarray(p.stat_pos)

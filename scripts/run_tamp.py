@@ -10,6 +10,10 @@ Run in the command line:
     python3 scripts/run_tamp.py task=push_pull multi_modal=True goal="[-3.75, -3.75]"
     python3 scripts/run_tamp.py -cn config_panda
     python3 scripts/run_tamp.py -cn config_panda multi_modal=True cube_on_shelf=True
+
+``--interactive`` adds live keyboard disturbance while the planner runs
+(i/j/k/l shove the box/cube, v live ASCII view with planned trajectories,
+q quit) — the reference's play_with_cube surface (isaacgym_wrapper.py:413-437).
 """
 import sys
 
@@ -21,7 +25,7 @@ from m3p2i_aip_tpu.tamp.sim_loop import run_sim
 
 def main(argv) -> None:
     cfg = load_config_from_argv(argv, default_config="config_point")
-    log = run_sim(cfg, verbose=True)
+    log = run_sim(cfg, verbose=True, interactive="--interactive" in argv)
     n = max(1, len(log.replan_s))
     print(
         f"steps={log.steps} success_step={log.success_step} "

@@ -10,18 +10,37 @@ Run in the command line (after starting scripts/reactive_tamp.py):
     python3 scripts/sim.py task=pull
     python3 scripts/sim.py task=push_pull
     python3 scripts/sim.py -cn config_panda
+
+Live interaction while the planner runs (the reference's play_with_cube /
+keyboard loop, sim.py:39 + isaacgym_wrapper.py:413-460): i/j/k/l shove the
+box, v toggles the ASCII view with the planner's top-trajectory overlay
+(get_trajs RPC), q quits.  Inert when stdin is not a tty.
 """
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from m3p2i_aip_tpu.config.config_store import load_config_from_argv
 from m3p2i_aip_tpu.envs import make_env, update_dyn_obs
 from m3p2i_aip_tpu.tamp.sim_loop import real_suction_ext
 from m3p2i_aip_tpu.utils import rpc
+from m3p2i_aip_tpu.utils.render import render_point_env
 from m3p2i_aip_tpu.utils.skill_utils import time_tracking
+from m3p2i_aip_tpu.utils.teleop import SHOVE_KEYS, KeyboardTeleop
+
+
+def _shove(env, state, dpos):
+    """Displace the box mid-run (play_with_cube's cube dragging)."""
+    names = list(env.params.actor_names)
+    if "box" not in names:
+        return state
+    slot = env.params.dyn_actor_idx.index(names.index("box"))
+    return state.replace(
+        dyn_pos=state.dyn_pos.at[slot].add(jnp.asarray(dpos))
+    )
 
 
 def run_sim(argv) -> None:
@@ -37,16 +56,30 @@ def run_sim(argv) -> None:
         state = step(state, zero_u, zero_ext)
     print("Start simulation!")
 
+    show_view = False
     t = time.time()
-    for i in range(10000):
-        state = update_dyn_obs(env, state, i)
-        action = jnp.asarray(
-            planner.run_tamp(env.dof_state_view(state), env.root_state_view(state))
-        )
-        cfg.suction_active = bool(planner.get_suction())
-        ext = real_suction_ext(cfg, env, state, action)
-        state = step(state, action, ext)
-        t = time_tracking(t, cfg.sim.dt)
+    with KeyboardTeleop() as keys:
+        for i in range(10000):
+            for key in keys.poll():
+                if key == "q":
+                    return
+                if key == "v":
+                    show_view = not show_view
+                elif key in SHOVE_KEYS and env.env_type == "point_env":
+                    state = _shove(env, state, SHOVE_KEYS[key])
+            state = update_dyn_obs(env, state, i)
+            action = jnp.asarray(
+                planner.run_tamp(env.dof_state_view(state), env.root_state_view(state))
+            )
+            cfg.suction_active = bool(planner.get_suction())
+            ext = real_suction_ext(cfg, env, state, action)
+            state = step(state, action, ext)
+            if show_view and env.env_type == "point_env":
+                trajs = planner.get_trajs()
+                print("\x1b[2J\x1b[H" + render_point_env(
+                    env, state, trajs=np.asarray(trajs)
+                ))
+            t = time_tracking(t, cfg.sim.dt)
 
 
 if __name__ == "__main__":

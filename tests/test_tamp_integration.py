@@ -319,3 +319,74 @@ def test_simloop_reset_matches_fresh_build():
     for i in range(5):
         loop.tick(i)
     assert np.allclose(np.asarray(loop._view["robot_pos"]), ref_pos, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_point_chunked_early_exit_matches_per_tick():
+    """The on-device early-exit chunk (lax.while_loop success latch,
+    ReactiveTAMP._run_chunk_impl) must report the SAME success tick as the
+    per-tick path — chunked task-time stats are exact, not quantized to the
+    chunk length — and must not run past the latch."""
+    overrides = ["task=push", "goal=[-1,-1]", "mppi.num_samples=64"]
+
+    loop_a = SimLoop(load_config("config_point", overrides))
+    loop_a.warmup(10)
+    for i in range(300):
+        if loop_a.tick(i):
+            break
+    assert loop_a.log.success_step is not None
+
+    loop_b = SimLoop(load_config("config_point", overrides))
+    loop_b.warmup(10)
+    log_b = loop_b.run_chunked(300, chunk=10)
+    assert log_b.success_step == loop_a.log.success_step, (
+        log_b.success_step,
+        loop_a.log.success_step,
+    )
+    # the chunked log stops at the success tick: no post-goal replans logged
+    assert log_b.steps == log_b.success_step + 1
+
+
+@pytest.mark.slow
+def test_per_mode_cov_adapts_and_diverges():
+    """update_cov_per_mode (extension over the reference's single-mode
+    update_cov): each mode's sampling covariance adapts from its own masked
+    weights, the two diverge under asymmetric costs (push vs pull see
+    different landscapes), and the adapted scales change the planned
+    actions."""
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    def build(per_mode):
+        cfg = load_config(
+            "config_point",
+            [
+                "task=push_pull",
+                "multi_modal=True",
+                "goal=[-3.75,-3.75]",
+                "mppi.num_samples=32",
+                "mppi.exploration_noise=0",
+                f"mppi.update_cov_per_mode={per_mode}",
+            ],
+        )
+        return ReactiveTAMP(cfg)
+
+    on, off = build(True), build(False)
+    state = on.env.init_state()
+    a_on = a_off = None
+    for i in range(6):
+        a_on = np.asarray(on.run_tamp(state))
+        a_off = np.asarray(off.run_tamp(state))
+    c1 = np.asarray(on.mppi_state.cov_action_1)
+    c2 = np.asarray(on.mppi_state.cov_action_2)
+    assert np.all(np.isfinite(c1)) and np.all(c1 > 0)
+    assert not np.allclose(c1, 3.0) and not np.allclose(c2, 3.0), (c1, c2)
+    assert not np.allclose(c1, c2, rtol=0.05), "modes did not diverge"
+    assert not np.allclose(a_on, a_off, atol=1e-5)
+    # rejected where inert (single-mode planner never reads the per-mode covs)
+    with pytest.raises(ValueError):
+        ReactiveTAMP(
+            load_config(
+                "config_point",
+                ["mppi.update_cov_per_mode=True", "mppi.num_samples=32"],
+            )
+        )

@@ -131,3 +131,43 @@ def test_shelf_config_default_horizon():
         "config_panda", ["cube_on_shelf=True", "mppi.horizon=14"]
     )
     assert pinned.mppi.horizon == 14
+
+
+def test_teleop_inert_off_tty_and_render_overlay():
+    """KeyboardTeleop degrades to a no-op when stdin is not a tty (CI), and
+    the ASCII renderer overlays planned trajectories as '.' marks."""
+    import jax
+
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.envs import make_env
+    from m3p2i_aip_tpu.utils.render import render_point_env
+    from m3p2i_aip_tpu.utils.teleop import SHOVE_KEYS, KeyboardTeleop
+
+    with KeyboardTeleop() as keys:
+        assert keys.poll() == []  # pytest's stdin is not a tty
+    with KeyboardTeleop(enabled=False) as keys:
+        assert not keys.active and keys.poll() == []
+    assert set(SHOVE_KEYS) == {"i", "j", "k", "l"}
+
+    env = make_env(load_config("config_point"))
+    s = env.init_state()
+    trajs = np.zeros((3, 5, 2), dtype=np.float32)
+    trajs[:, :, 0] = np.linspace(-2.0, 2.0, 5)[None, :]
+    trajs[:, :, 1] = 2.5
+    out = render_point_env(env, s, trajs=trajs)
+    assert "." in out and "R" in out
+
+
+def test_interactive_run_ci_safe():
+    """SimLoop.run(interactive=True) must behave exactly like a plain run
+    when no tty is attached (the teleop reader is inert)."""
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.tamp.sim_loop import SimLoop
+
+    cfg = load_config(
+        "config_point", ["task=navigation", "goal=[-3,3]", "mppi.num_samples=32"]
+    )
+    loop = SimLoop(cfg)
+    loop.warmup(5)
+    log = loop.run(n_steps=5, interactive=True)
+    assert log.steps == 5
