@@ -12,8 +12,13 @@ PointObjective costs (cost_functions.py parity chain), including the
 suction-force carry from the pull cost into the next step.  Numerical parity
 with the XLA path is asserted by tests/test_pallas.py on TPU.
 
-Layout: K padded to a multiple of 128 (f32 lanes).  D dynamic boxes and S
-static boxes are unrolled in Python (both are tiny and static).
+Layout: K padded to a multiple of 128 (f32 lanes).  Per-body quantities are
+SUBLANE-PACKED: the D dynamic boxes live as [D, Kp] register blocks (box i on
+sublane i) and the S statics as in-kernel [S, 1] constant columns, so each
+contact pass issues ONE packed vector op where a row-wise kernel would issue
+D (or S) — the round-2 kernels were latency-bound on exactly those [1, K]
+row loops.  Cross-body reductions (robot corrections, contact-force totals)
+are cheap sublane sums.
 """
 from __future__ import annotations
 
@@ -184,7 +189,7 @@ def _corner_pens(cx, cy, cc, cs, hxa, hya, bx, by, bc, bs, hxb, hyb):
 def _rollout_kernel(
     task_ref,  # SMEM [4]: task_id, goal_x, goal_y, k0 (global sample offset)
     acts_ref,  # VMEM [T, n_u, Kp]
-    state_ref,  # VMEM [2*n_q + 6D, Kp]
+    state_ref,  # VMEM [2*n_q + 6D, Kp], dyn rows grouped BY FIELD (x*D, y*D, ...)
     cost_ref,  # VMEM out [T, Kp]
     trajx_ref,  # VMEM out [T, Kp]
     trajy_ref,  # VMEM out [T, Kp]
@@ -216,7 +221,43 @@ def _rollout_kernel(
     n_u = P["n_u"]
     rtype = P["robot_type"]
 
-    # unpack state rows -> [1, Kp] registers
+    # ---- sublane packing --------------------------------------------------
+    # Every per-dyn-box quantity lives as ONE [D, Kp] register block (box i on
+    # sublane i) instead of D separate [1, Kp] rows, and per-box constants are
+    # [D, 1] columns; the D-wide contact loops below then issue one packed
+    # vector op where the row-wise kernel issued D (TODO round-2: the kernels
+    # are latency-bound with [1, K] rows at reference K).  Statics pack the
+    # same way as [S, 1] constants broadcast to [S, Kp].
+    def const_col(vals):
+        # built from iota + scalar selects: pallas_call rejects captured
+        # ARRAY constants (jaxpr constvars), but scalar immediates are fine
+        n = len(vals)
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        out = jnp.zeros((n, 1), jnp.float32)
+        for i, v in enumerate(vals):
+            out = jnp.where(r == i, jnp.float32(v), out)
+        return out
+
+    def one_hot_col(i, n):
+        r = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        return (r == i).astype(jnp.float32)
+
+    inv_mass_d = const_col(P["inv_mass"])  # [D,1]
+    inv_inertia_d = const_col(P["inv_inertia"])
+    mu_g_d = const_col(P["mu_g"])
+    ang_rad_d = const_col(P["ang_rad"])
+    half_x_d = const_col([hv[0] for hv in P["half"]])
+    half_y_d = const_col([hv[1] for hv in P["half"]])
+    fric_d = const_col(P["friction"])
+    stat_x = const_col([sv[0] for sv in P["stat"]])  # [S,1]
+    stat_y = const_col([sv[1] for sv in P["stat"]])
+    stat_c = const_col([np.cos(sv[2]) for sv in P["stat"]])
+    stat_s = const_col([np.sin(sv[2]) for sv in P["stat"]])
+    stat_hx = const_col([sv[0] for sv in P["stat_half"]])
+    stat_hy = const_col([sv[1] for sv in P["stat_half"]])
+    stat_fric = const_col(P["stat_friction"])
+
+    # unpack state rows; dyn state arrives grouped by field
     def row(i):
         return state_ref[i : i + 1, :]
 
@@ -224,10 +265,12 @@ def _rollout_kernel(
     qyaw = row(2) if n_q == 3 else jnp.zeros((1, Kp), jnp.float32)
     qdx, qdy = row(n_q), row(n_q + 1)
     qdyaw = row(n_q + 2) if n_q == 3 else jnp.zeros((1, Kp), jnp.float32)
-    dp = []  # per dyn box: [x, y, yaw, vx, vy, om]
-    for i in range(D):
-        b = 2 * n_q + 6 * i
-        dp.append([row(b), row(b + 1), row(b + 2), row(b + 3), row(b + 4), row(b + 5)])
+    base = 2 * n_q
+
+    def field(f):
+        return state_ref[base + f * D : base + (f + 1) * D, :]
+
+    X, Y, YAW, VX, VY, OM = (field(f) for f in range(6))
 
     # suction ext-force carry (pull cost -> next step), zero at t=0
     ext_rx = jnp.zeros((1, Kp), jnp.float32)
@@ -237,13 +280,17 @@ def _rollout_kernel(
 
     box = P["box_slot"]
     obs = P["dynobs_slot"]
+    box_hot = one_hot_col(box, D)  # [D,1]
+    obs_hot = one_hot_col(obs, D)
+
+    def subsum(x):  # reduce a packed block to one [1, Kp] row
+        return jnp.sum(x, axis=0, keepdims=True)
 
     # time loop as fori_loop (NOT unrolled: the T x substeps x pos_iters x
-    # contact-pass nest is ~10k vector statements per step already)
+    # contact-pass nest is thousands of vector statements per step already)
     def t_body(t, carry):
-        (qx, qy, qyaw, qdx, qdy, qdyaw, flat_dp,
+        (qx, qy, qyaw, qdx, qdy, qdyaw, X, Y, YAW, VX, VY, OM,
          ext_rx, ext_ry, ext_bx, ext_by) = carry
-        dp = [list(flat_dp[6 * i : 6 * i + 6]) for i in range(D)]
         # actions arrive pre-scaled (the caller applies u_scale, matching
         # MPPI._command_halton's `u_scale * act_seq` at the _rollout boundary)
         u = [acts_ref[t, c : c + 1, :] for c in range(n_u)]
@@ -275,189 +322,173 @@ def _rollout_kernel(
             qcap = jnp.minimum(1.0, 6.0 / jnp.maximum(qsp, 1e-9))
             qdx = qdx * qcap
             qdy = qdy * qcap
-            for i in range(D):
-                x, y, yaw, vx, vy, om = dp[i]
-                if i == box:
-                    vx = vx + ext_bx * (P["inv_mass"][i] * h)
-                    vy = vy + ext_by * (P["inv_mass"][i] * h)
-                # ground friction (pbd2d.ground_friction)
-                speed = jnp.sqrt(vx * vx + vy * vy)
-                scale = jnp.maximum(
-                    0.0, 1.0 - P["mu_g"][i] * GRAVITY * h / jnp.maximum(speed, 1e-9)
-                )
-                vx, vy = vx * scale, vy * scale
-                om_scale = jnp.maximum(
-                    0.0,
-                    1.0
-                    - P["mu_g"][i] * GRAVITY * h
-                    / jnp.maximum(jnp.abs(om) * P["ang_rad"][i], 1e-9),
-                )
-                om = om * om_scale
-                sp = jnp.sqrt(vx * vx + vy * vy)
-                cap = jnp.minimum(1.0, P["max_speed"] / jnp.maximum(sp, 1e-9))
-                vx, vy = vx * cap, vy * cap
-                # position integration
-                x = x + vx * h
-                y = y + vy * h
-                yaw = yaw + om * h
-                dp[i] = [x, y, yaw, vx, vy, om]
+
+            # dyn integration, all boxes in one packed block
+            VX = VX + ext_bx * (inv_mass_d * h) * box_hot
+            VY = VY + ext_by * (inv_mass_d * h) * box_hot
+            # ground friction (pbd2d.ground_friction)
+            speed = jnp.sqrt(VX * VX + VY * VY)
+            scale = jnp.maximum(
+                0.0, 1.0 - mu_g_d * GRAVITY * h / jnp.maximum(speed, 1e-9)
+            )
+            VX, VY = VX * scale, VY * scale
+            om_scale = jnp.maximum(
+                0.0,
+                1.0 - mu_g_d * GRAVITY * h / jnp.maximum(jnp.abs(OM) * ang_rad_d, 1e-9),
+            )
+            OM = OM * om_scale
+            sp = jnp.sqrt(VX * VX + VY * VY)
+            cap = jnp.minimum(1.0, P["max_speed"] / jnp.maximum(sp, 1e-9))
+            VX, VY = VX * cap, VY * cap
+            X = X + VX * h
+            Y = Y + VY * h
+            YAW = YAW + OM * h
             qx = qx + qdx * h
             qy = qy + qdy * h
             if n_q == 3:
                 qyaw = qyaw + qdyaw * h
 
             for _ in range(P["pos_iters"]):
-                # pass 1: robot circle vs each dynamic box — Jacobi: all D
-                # contacts evaluated from the PRE-pass robot pose, summed
-                # corrections applied after (point_env.step pass 1 semantics)
-                dqx = dqy = dqdx = dqdy = 0.0
-                for i in range(D):
-                    x, y, yaw, vx, vy, om = dp[i]
-                    c, s = jnp.cos(yaw), jnp.sin(yaw)
-                    pen, nx, ny, px, py = _circle_vs_obb(
-                        qx, qy, rr, x, y, c, s, P["half"][i][0], P["half"][i][1]
-                    )
-                    out = _resolve(
-                        pen, nx, ny, px, py,
-                        qx, qy, qdx, qdy, 0.0, wm_r, 0.0,
-                        x, y, vx, vy, om, P["inv_mass"][i], P["inv_inertia"][i],
-                        h, (P["robot_friction"] + P["friction"][i]) / 2, 1.0,
-                    )
-                    dqx, dqy = dqx + out[0], dqy + out[1]
-                    dqdx, dqdy = dqdx + out[3], dqdy + out[4]
-                    dp[i] = [
-                        x + out[6], y + out[7], yaw + out[8],
-                        vx + out[9], vy + out[10], om + out[11],
-                    ]
-                    if i == obs:
-                        f_obs_x = f_obs_x - out[12]
-                        f_obs_y = f_obs_y - out[13]
-                qx, qy = qx + dqx, qy + dqy
-                qdx, qdy = qdx + dqdx, qdy + dqdy
+                # pass 1: robot circle vs ALL dynamic boxes in one packed op
+                # — Jacobi: all D contacts evaluated from the PRE-pass robot
+                # pose, robot corrections sublane-summed after (point_env.step
+                # pass 1 semantics; each box has one contact, so its packed
+                # correction applies directly)
+                c, s = jnp.cos(YAW), jnp.sin(YAW)
+                pen, nx, ny, px, py = _circle_vs_obb(
+                    qx, qy, rr, X, Y, c, s, half_x_d, half_y_d
+                )
+                out = _resolve(
+                    pen, nx, ny, px, py,
+                    qx, qy, qdx, qdy, 0.0, wm_r, 0.0,
+                    X, Y, VX, VY, OM, inv_mass_d, inv_inertia_d,
+                    h, (P["robot_friction"] + fric_d) / 2, 1.0,
+                )
+                X, Y, YAW = X + out[6], Y + out[7], YAW + out[8]
+                VX, VY, OM = VX + out[9], VY + out[10], OM + out[11]
+                f_obs_x = f_obs_x - out[12][obs : obs + 1, :]
+                f_obs_y = f_obs_y - out[13][obs : obs + 1, :]
+                qx, qy = qx + subsum(out[0]), qy + subsum(out[1])
+                qdx, qdy = qdx + subsum(out[3]), qdy + subsum(out[4])
 
-                # pass 2: dynamic vs dynamic (corners of i in j), Jacobi
+                # pass 2: dynamic vs dynamic, Jacobi from frozen poses — for
+                # each box i (as A), its corners meet ALL other boxes packed
+                # on sublanes (row j = box j as B); the i==j self-pair is
+                # masked inactive
                 if D > 1:
-                    deltas = [[jnp.zeros((1, Kp), jnp.float32)] * 6 for _ in range(D)]
+                    X0, Y0, YAW0, VX0, VY0, OM0 = X, Y, YAW, VX, VY, OM
+                    c0, s0 = jnp.cos(YAW0), jnp.sin(YAW0)
+                    dX = jnp.zeros((D, Kp), jnp.float32)
+                    dY, dYAW = dX, dX
+                    dVX, dVY, dOM = dX, dX, dX
                     for i in range(D):
-                        for j in range(D):
-                            if i == j:
-                                continue
-                            xi, yi, yawi, vxi, vyi, omi = dp[i]
-                            xj, yj, yawj, vxj, vyj, omj = dp[j]
-                            ci, si = jnp.cos(yawi), jnp.sin(yawi)
-                            cj, sj = jnp.cos(yawj), jnp.sin(yawj)
-                            pens, corners, (nx, ny) = _corner_pens(
-                                xi, yi, ci, si, P["half"][i][0], P["half"][i][1],
-                                xj, yj, cj, sj, P["half"][j][0], P["half"][j][1],
-                            )
-                            for pen, (wx, wy) in zip(pens, corners):
-                                out = _resolve(
-                                    pen, nx, ny, wx, wy,
-                                    xi, yi, vxi, vyi, omi,
-                                    P["inv_mass"][i], P["inv_inertia"][i],
-                                    xj, yj, vxj, vyj, omj,
-                                    P["inv_mass"][j], P["inv_inertia"][j],
-                                    h,
-                                    (P["friction"][i] + P["friction"][j]) / 2,
-                                    0.5,
-                                )
-                                di, dj = deltas[i], deltas[j]
-                                deltas[i] = [
-                                    di[0] + out[0], di[1] + out[1], di[2] + out[2],
-                                    di[3] + out[3], di[4] + out[4], di[5] + out[5],
-                                ]
-                                deltas[j] = [
-                                    dj[0] + out[6], dj[1] + out[7], dj[2] + out[8],
-                                    dj[3] + out[9], dj[4] + out[10], dj[5] + out[11],
-                                ]
-                                if i == obs:
-                                    f_obs_x = f_obs_x + out[12]
-                                    f_obs_y = f_obs_y + out[13]
-                                if j == obs:
-                                    f_obs_x = f_obs_x - out[12]
-                                    f_obs_y = f_obs_y - out[13]
-                    for i in range(D):
-                        x, y, yaw, vx, vy, om = dp[i]
-                        d = deltas[i]
-                        dp[i] = [
-                            x + d[0], y + d[1], yaw + d[2],
-                            vx + d[3], vy + d[4], om + d[5],
-                        ]
-
-                # pass 3: dynamic boxes vs static boxes (full strength,
-                # per-corner corrections normalized by active-corner count)
-                # — Jacobi: all S x 4 contacts from the pre-pass box pose,
-                # summed corrections applied after (point_env.step pass 3)
-                for i in range(D):
-                    x, y, yaw, vx, vy, om = dp[i]
-                    ci, si = jnp.cos(yaw), jnp.sin(yaw)
-                    ddx = ddy = ddyaw = ddvx = ddvy = ddom = 0.0
-                    for s_i in range(S):
-                        sxc, syc, syaw = P["stat"][s_i]
-                        sc, ss = float(np.cos(syaw)), float(np.sin(syaw))
+                        i_hot = one_hot_col(i, D)
+                        not_i = 1.0 - i_hot
+                        xi, yi = X0[i : i + 1, :], Y0[i : i + 1, :]
+                        ci, si = c0[i : i + 1, :], s0[i : i + 1, :]
+                        vxi, vyi = VX0[i : i + 1, :], VY0[i : i + 1, :]
+                        omi = OM0[i : i + 1, :]
                         pens, corners, (nx, ny) = _corner_pens(
-                            x, y, ci, si, P["half"][i][0], P["half"][i][1],
-                            sxc, syc, sc, ss,
-                            P["stat_half"][s_i][0], P["stat_half"][s_i][1],
+                            xi, yi, ci, si, P["half"][i][0], P["half"][i][1],
+                            X0, Y0, c0, s0, half_x_d, half_y_d,
                         )
-                        n_act = sum((pen > 0).astype(jnp.float32) for pen in pens)
-                        relax = 1.0 / jnp.maximum(n_act, 1.0)
+                        dAx = dAy = dAyaw = dAvx = dAvy = dAom = 0.0
                         for pen, (wx, wy) in zip(pens, corners):
+                            pen = jnp.where(not_i > 0, pen, -1.0)  # mask self
                             out = _resolve(
                                 pen, nx, ny, wx, wy,
-                                x, y, vx, vy, om,
+                                xi, yi, vxi, vyi, omi,
                                 P["inv_mass"][i], P["inv_inertia"][i],
-                                sxc, syc, 0.0, 0.0, 0.0, 0.0, 0.0,
-                                h,
-                                (P["friction"][i] + P["stat_friction"][s_i]) / 2,
-                                relax,
+                                X0, Y0, VX0, VY0, OM0,
+                                inv_mass_d, inv_inertia_d,
+                                h, (P["friction"][i] + fric_d) / 2, 0.5,
                             )
-                            ddx, ddy, ddyaw = ddx + out[0], ddy + out[1], ddyaw + out[2]
-                            ddvx, ddvy, ddom = ddvx + out[3], ddvy + out[4], ddom + out[5]
+                            dAx, dAy, dAyaw = dAx + subsum(out[0]), dAy + subsum(out[1]), dAyaw + subsum(out[2])
+                            dAvx, dAvy, dAom = dAvx + subsum(out[3]), dAvy + subsum(out[4]), dAom + subsum(out[5])
+                            dX, dY, dYAW = dX + out[6], dY + out[7], dYAW + out[8]
+                            dVX, dVY, dOM = dVX + out[9], dVY + out[10], dOM + out[11]
                             if i == obs:
-                                f_obs_x = f_obs_x + out[12]
-                                f_obs_y = f_obs_y + out[13]
-                    dp[i] = [x + ddx, y + ddy, yaw + ddyaw,
-                             vx + ddvx, vy + ddvy, om + ddom]
+                                f_obs_x = f_obs_x + subsum(out[12])
+                                f_obs_y = f_obs_y + subsum(out[13])
+                            f_obs_x = f_obs_x - out[12][obs : obs + 1, :]
+                            f_obs_y = f_obs_y - out[13][obs : obs + 1, :]
+                        dX = dX + i_hot * dAx
+                        dY = dY + i_hot * dAy
+                        dYAW = dYAW + i_hot * dAyaw
+                        dVX = dVX + i_hot * dAvx
+                        dVY = dVY + i_hot * dAvy
+                        dOM = dOM + i_hot * dAom
+                    X, Y, YAW = X + dX, Y + dY, YAW + dYAW
+                    VX, VY, OM = VX + dVX, VY + dVY, OM + dOM
 
-                # pass 4: robot circle vs static boxes — Jacobi across S
-                dqx = dqy = dqdx = dqdy = 0.0
-                for s_i in range(S):
-                    sxc, syc, syaw = P["stat"][s_i]
-                    sc, ss = float(np.cos(syaw)), float(np.sin(syaw))
-                    pen, nx, ny, px, py = _circle_vs_obb(
-                        qx, qy, rr, sxc, syc, sc, ss,
-                        P["stat_half"][s_i][0], P["stat_half"][s_i][1],
-                    )
-                    out = _resolve(
-                        pen, nx, ny, px, py,
-                        qx, qy, qdx, qdy, 0.0, wm_r, 0.0,
-                        sxc, syc, 0.0, 0.0, 0.0, 0.0, 0.0,
-                        h, (P["robot_friction"] + P["stat_friction"][s_i]) / 2, 1.0,
-                    )
-                    dqx, dqy = dqx + out[0], dqy + out[1]
-                    dqdx, dqdy = dqdx + out[3], dqdy + out[4]
-                qx, qy = qx + dqx, qy + dqy
-                qdx, qdy = qdx + dqdx, qdy + dqdy
-
-                # pass 5: robot vs dynamic again (immovable) — Jacobi across D
-                dqx = dqy = dqdx = dqdy = 0.0
+                # pass 3: each dynamic box vs ALL statics packed on sublanes
+                # (full strength, per-corner corrections normalized by the
+                # active-corner count per static) — Jacobi per box: all S x 4
+                # contacts from the pre-pass box pose, sublane-summed after
+                # (point_env.step pass 3)
+                newXYZ = []
+                cD, sD = jnp.cos(YAW), jnp.sin(YAW)
                 for i in range(D):
-                    x, y, yaw, vx, vy, om = dp[i]
-                    c, s = jnp.cos(yaw), jnp.sin(yaw)
-                    pen, nx, ny, px, py = _circle_vs_obb(
-                        qx, qy, rr, x, y, c, s, P["half"][i][0], P["half"][i][1]
+                    x, y = X[i : i + 1, :], Y[i : i + 1, :]
+                    ci, si = cD[i : i + 1, :], sD[i : i + 1, :]
+                    vx, vy = VX[i : i + 1, :], VY[i : i + 1, :]
+                    om = OM[i : i + 1, :]
+                    pens, corners, (nx, ny) = _corner_pens(
+                        x, y, ci, si, P["half"][i][0], P["half"][i][1],
+                        stat_x, stat_y, stat_c, stat_s, stat_hx, stat_hy,
                     )
-                    out = _resolve(
-                        pen, nx, ny, px, py,
-                        qx, qy, qdx, qdy, 0.0, wm_r, 0.0,
-                        x, y, vx, vy, om, 0.0, 0.0,
-                        h, 0.0, 1.0,
-                    )
-                    dqx, dqy = dqx + out[0], dqy + out[1]
-                    dqdx, dqdy = dqdx + out[3], dqdy + out[4]
-                qx, qy = qx + dqx, qy + dqy
-                qdx, qdy = qdx + dqdx, qdy + dqdy
+                    n_act = sum((pen > 0).astype(jnp.float32) for pen in pens)
+                    relax = 1.0 / jnp.maximum(n_act, 1.0)
+                    ddx = ddy = ddyaw = ddvx = ddvy = ddom = 0.0
+                    for pen, (wx, wy) in zip(pens, corners):
+                        out = _resolve(
+                            pen, nx, ny, wx, wy,
+                            x, y, vx, vy, om,
+                            P["inv_mass"][i], P["inv_inertia"][i],
+                            stat_x, stat_y, 0.0, 0.0, 0.0, 0.0, 0.0,
+                            h, (P["friction"][i] + stat_fric) / 2, relax,
+                        )
+                        ddx, ddy, ddyaw = ddx + subsum(out[0]), ddy + subsum(out[1]), ddyaw + subsum(out[2])
+                        ddvx, ddvy, ddom = ddvx + subsum(out[3]), ddvy + subsum(out[4]), ddom + subsum(out[5])
+                        if i == obs:
+                            f_obs_x = f_obs_x + subsum(out[12])
+                            f_obs_y = f_obs_y + subsum(out[13])
+                    newXYZ.append((ddx, ddy, ddyaw, ddvx, ddvy, ddom))
+                for i, (ddx, ddy, ddyaw, ddvx, ddvy, ddom) in enumerate(newXYZ):
+                    i_hot = one_hot_col(i, D)
+                    X = X + i_hot * ddx
+                    Y = Y + i_hot * ddy
+                    YAW = YAW + i_hot * ddyaw
+                    VX = VX + i_hot * ddvx
+                    VY = VY + i_hot * ddvy
+                    OM = OM + i_hot * ddom
+
+                # pass 4: robot circle vs ALL statics in one packed op
+                pen, nx, ny, px, py = _circle_vs_obb(
+                    qx, qy, rr, stat_x, stat_y, stat_c, stat_s, stat_hx, stat_hy
+                )
+                out = _resolve(
+                    pen, nx, ny, px, py,
+                    qx, qy, qdx, qdy, 0.0, wm_r, 0.0,
+                    stat_x, stat_y, 0.0, 0.0, 0.0, 0.0, 0.0,
+                    h, (P["robot_friction"] + stat_fric) / 2, 1.0,
+                )
+                qx, qy = qx + subsum(out[0]), qy + subsum(out[1])
+                qdx, qdy = qdx + subsum(out[3]), qdy + subsum(out[4])
+
+                # pass 5: robot vs dynamic again (immovable), one packed op
+                c, s = jnp.cos(YAW), jnp.sin(YAW)
+                pen, nx, ny, px, py = _circle_vs_obb(
+                    qx, qy, rr, X, Y, c, s, half_x_d, half_y_d
+                )
+                out = _resolve(
+                    pen, nx, ny, px, py,
+                    qx, qy, qdx, qdy, 0.0, wm_r, 0.0,
+                    X, Y, VX, VY, OM, 0.0, 0.0,
+                    h, 0.0, 1.0,
+                )
+                qx, qy = qx + subsum(out[0]), qy + subsum(out[1])
+                qdx, qdy = qdx + subsum(out[3]), qdy + subsum(out[4])
 
             # closed-arena invariant (point_env.py arena_bound clamp)
             if P["arena_bound"] > 0.0:
@@ -471,7 +502,8 @@ def _rollout_kernel(
         coll = jnp.abs(f_obs_x / n_norm) + jnp.abs(f_obs_y / n_norm)
         motion_cost = jnp.where(coll > 0.1, 1000.0, 0.0)
 
-        bx_, by_ = dp[box][0], dp[box][1]
+        bx_ = X[box : box + 1, :]
+        by_ = Y[box : box + 1, :]
         r2bx, r2by = qx - bx_, qy - by_
         b2gx, b2gy = gx - bx_, gy - by_
         d_rb = jnp.sqrt(r2bx * r2bx + r2by * r2by)
@@ -498,16 +530,11 @@ def _rollout_kernel(
         s_ry = jnp.where(off, 0.0, -fy)
         vel_cost = jnp.where(towards & (d_rb <= 0.5), 0.6, 0.0)
         # wall-crush penalty (extension, mirrors PointObjective._wall_crush):
-        # max robot-circle penetration into the statics
-        crush_pen = jnp.full((1, Kp), -1e9, jnp.float32)
-        for s_i in range(S):
-            sxc, syc, syaw = P["stat"][s_i]
-            sc, ss = float(np.cos(syaw)), float(np.sin(syaw))
-            penw, _, _, _, _ = _circle_vs_obb(
-                qx, qy, rr, sxc, syc, sc, ss,
-                P["stat_half"][s_i][0], P["stat_half"][s_i][1],
-            )
-            crush_pen = jnp.maximum(crush_pen, penw)
+        # max robot-circle penetration into the statics, packed over S
+        penw, _, _, _, _ = _circle_vs_obb(
+            qx, qy, rr, stat_x, stat_y, stat_c, stat_s, stat_hx, stat_hy
+        )
+        crush_pen = jnp.max(penw, axis=0, keepdims=True)
         if P["arena_bound"] > 0.0:
             # boundary contact counts as crush (PointObjective._pull)
             lim_e = P["arena_bound"] - rr - 0.005
@@ -538,16 +565,14 @@ def _rollout_kernel(
         cost_ref[pl.ds(t, 1), :] = cost
         trajx_ref[pl.ds(t, 1), :] = qx
         trajy_ref[pl.ds(t, 1), :] = qy
-        flat_out = tuple(v for b in dp for v in b)
-        return (qx, qy, qyaw, qdx, qdy, qdyaw, flat_out,
+        return (qx, qy, qyaw, qdx, qdy, qdyaw, X, Y, YAW, VX, VY, OM,
                 ext_rx, ext_ry, ext_bx, ext_by)
 
-    init_flat = tuple(v for b in dp for v in b)
     jax.lax.fori_loop(
         0,
         P["T"],
         t_body,
-        (qx, qy, qyaw, qdx, qdy, qdyaw, init_flat,
+        (qx, qy, qyaw, qdx, qdy, qdyaw, X, Y, YAW, VX, VY, OM,
          ext_rx, ext_ry, ext_bx, ext_by),
     )
 
@@ -673,11 +698,14 @@ def make_point_rollout(
         s0 = jax.tree_util.tree_map(lambda x: x[0], sim_state_k)
         n_q, n_u = P["n_q"], P["n_u"]
         rows = [s0.q[i] for i in range(n_q)] + [s0.qd[i] for i in range(n_q)]
-        for i in range(D):
-            rows += [
-                s0.dyn_pos[i, 0], s0.dyn_pos[i, 1], s0.dyn_yaw[i],
-                s0.dyn_vel[i, 0], s0.dyn_vel[i, 1], s0.dyn_om[i],
-            ]
+        # dyn rows grouped BY FIELD (all x, all y, ...) so the kernel reads
+        # each field as one contiguous [D, Kp] sublane-packed block
+        rows += [s0.dyn_pos[i, 0] for i in range(D)]
+        rows += [s0.dyn_pos[i, 1] for i in range(D)]
+        rows += [s0.dyn_yaw[i] for i in range(D)]
+        rows += [s0.dyn_vel[i, 0] for i in range(D)]
+        rows += [s0.dyn_vel[i, 1] for i in range(D)]
+        rows += [s0.dyn_om[i] for i in range(D)]
         state_packed = jnp.broadcast_to(
             jnp.stack(rows)[:, None], (2 * n_q + 6 * D, Kp)
         ).astype(jnp.float32)
