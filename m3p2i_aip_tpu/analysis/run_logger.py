@@ -63,6 +63,29 @@ def finalize_point_row(
     )
 
 
+def finalize_albert_row(log, view: dict, goal, dt: float = 0.05) -> np.ndarray:
+    """One 11-col albert (mobile manipulation) row.
+
+    No reference schema exists (the reference ships the albert asset unused);
+    columns: [save_time, ee_x, ee_y, ee_z, base_x, base_y,
+    goal_x, goal_y, goal_z, success, task_time].
+    """
+    steps = log.success_step if log.success_step is not None else log.steps
+    return np.asarray(
+        [
+            time.time(),
+            *np.asarray(view["ee_pos"], dtype=np.float64),
+            *np.asarray(view["robot_pos"], dtype=np.float64)[:2],
+            float(goal[0]),
+            float(goal[1]),
+            float(goal[2]),
+            float(log.success_step is not None),
+            steps * dt,
+        ],
+        dtype=np.float64,
+    )
+
+
 def finalize_panda_row(view: dict) -> np.ndarray:
     """Build one 15-col panda row (cube pose + goal pose + timestamp)."""
     return np.asarray(

@@ -56,6 +56,14 @@ def summarize(data: np.ndarray, env: str = "point") -> Dict[str, Tuple[float, fl
             "collisions": mean_std(data[:, 17]),
             "task_time": mean_std(data[:, 18]),
         }
+    if env == "albert":
+        # 11-col albert schema (run_logger.finalize_albert_row)
+        pos = np.linalg.norm(data[:, 1:4] - data[:, 6:9], axis=1)
+        return {
+            "ee_pos_error": mean_std(pos),
+            "success": mean_std(data[:, 9]),
+            "task_time": mean_std(data[:, 10]),
+        }
     pos, quat = panda_costs(data)
     return {"pos_error": mean_std(pos), "ori_error": mean_std(quat)}
 

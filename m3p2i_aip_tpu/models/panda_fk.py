@@ -27,6 +27,7 @@ quaternion is required (e.g. storing cube orientation state).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -123,23 +124,29 @@ def fk(q: jnp.ndarray, base_pos: jnp.ndarray, base_rot: jnp.ndarray | None = Non
     pos = jnp.broadcast_to(jnp.asarray(base_pos, dtype=q.dtype), batch + (3,))
     rot = base_rot
 
+    # full-f32 matmuls: the TPU MXU default (bf16 multiplies) costs ~5e-2
+    # absolute error by link 7, which showed up as the kernel-vs-XLA cost
+    # maxdiff (the Pallas kernel's scalar-register dots are exact f32);
+    # HIGHEST pins both paths to the same arithmetic
+    _hi = jax.lax.Precision.HIGHEST
     links = {}
     for j in range(7):
         off = jnp.asarray(_JOINT_XYZ[j], dtype=q.dtype)
-        pos = pos + jnp.einsum("...ij,j->...i", rot, off)
+        pos = pos + jnp.einsum("...ij,j->...i", rot, off, precision=_hi)
         if _ROLL_MATS[j] is not None:
-            rot = rot @ jnp.asarray(_ROLL_MATS[j], dtype=q.dtype)
-        rot = rot @ _rot_z(q[..., j])
+            rot = jnp.matmul(rot, jnp.asarray(_ROLL_MATS[j], dtype=q.dtype), precision=_hi)
+        rot = jnp.matmul(rot, _rot_z(q[..., j]), precision=_hi)
         links[f"link{j+1}"] = (pos, rot)
 
     hand_pos = pos + jnp.einsum(
-        "...ij,j->...i", rot, jnp.asarray(HAND_XYZ, dtype=q.dtype)
+        "...ij,j->...i", rot, jnp.asarray(HAND_XYZ, dtype=q.dtype), precision=_hi
     )
-    hand_rot = rot @ jnp.asarray(_HAND_MAT, dtype=q.dtype)
+    hand_rot = jnp.matmul(rot, jnp.asarray(_HAND_MAT, dtype=q.dtype), precision=_hi)
     links["hand"] = (hand_pos, hand_rot)
 
     f_base = hand_pos + jnp.einsum(
-        "...ij,j->...i", hand_rot, jnp.asarray(FINGER_XYZ, dtype=q.dtype)
+        "...ij,j->...i", hand_rot, jnp.asarray(FINGER_XYZ, dtype=q.dtype),
+        precision=_hi,
     )
     y_axis = hand_rot[..., :, 1]
     left_pos = f_base + y_axis * q[..., 7:8]

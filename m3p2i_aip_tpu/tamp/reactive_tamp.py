@@ -279,23 +279,45 @@ class ReactiveTAMP:
         """
         nv = self.env.view_vec(real_state).shape[0]
 
-        def cond(carry):
-            k, _, _, done, _ = carry
-            return (k < length) & jnp.logical_not(done)
-
-        def body(carry):
-            k, ms, rs, done, buf = carry
+        def tick(k, ms, rs):
             rs = update_dyn_obs_device(self.env, rs, i0 + k)
             pre_ms = ms  # pre-command weights, as in _tick_fused_impl
             action_seq, ms, aux = self.motion_planner._command_impl(ms, rs, task)
             action = action_seq[0]
             ext = self._suction_ext_device(pre_ms, rs, task, action)
             rs = self.env.step(rs, action, ext)
+            return ms, rs
+
+        if not gate:
+            # benchmark variant: fixed trip count, scan pipelines better
+            # than a while_loop on TPU
+            def body(carry, k):
+                ms, rs = carry
+                ms, rs = tick(k, ms, rs)
+                return (ms, rs), self.env.view_vec(rs)
+
+            (mppi_state, real_state), views = jax.lax.scan(
+                body, (mppi_state, real_state), jnp.arange(length)
+            )
+            return (
+                mppi_state,
+                real_state,
+                views,
+                jnp.asarray(length, jnp.int32),
+                jnp.asarray(False),
+            )
+
+        def cond(carry):
+            k, _, _, done, _ = carry
+            return (k < length) & jnp.logical_not(done)
+
+        def body(carry):
+            k, ms, rs, done, buf = carry
+            ms, rs = tick(k, ms, rs)
             buf = jax.lax.dynamic_update_index_in_dim(
                 buf, self.env.view_vec(rs), k, axis=0
             )
-            if gate:
-                done = self._point_success_device(rs, task)
+            done = self._point_success_device(rs, task)
             return k + 1, ms, rs, done, buf
 
         k, mppi_state, real_state, done, views = jax.lax.while_loop(

@@ -19,6 +19,7 @@ import numpy as np
 
 from m3p2i_aip_tpu.analysis import (
     RunLogger,
+    finalize_albert_row,
     finalize_panda_row,
     finalize_point_row,
     summarize,
@@ -57,7 +58,8 @@ def main(argv) -> None:
         i += 1
     cfg = load_config_from_argv(passthrough, default_config=config_name)
     is_panda = cfg.env_type == "panda_env"
-    family = "panda" if is_panda else "point"
+    is_albert = cfg.env_type == "albert_env"
+    family = "panda" if is_panda else ("albert" if is_albert else "point")
     out = out or f"plot/{family}/{cfg.task}{'_mm' if cfg.multi_modal else ''}.npy"
 
     # domain randomization (size/friction noise) is baked into env params at
@@ -121,6 +123,8 @@ def main(argv) -> None:
         view = loop._view
         if is_panda:
             logger.add(finalize_panda_row(view))
+        elif is_albert:
+            logger.add(finalize_albert_row(log, view, cfg.goal, dt=cfg.sim.dt))
         else:
             logger.add(
                 finalize_point_row(log, view, cfg.goal, t0, dt=cfg.sim.dt)
