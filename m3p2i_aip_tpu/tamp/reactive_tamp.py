@@ -334,9 +334,14 @@ class ReactiveTAMP:
         return mppi_state, real_state, views, k, done
 
     def run_chunk(self, mppi_state, real_state, task, i0: int, length: int):
-        return self._run_chunk(
+        ms, rs, views, n_ticks, done = self._run_chunk(
             mppi_state, real_state, task, jnp.asarray(i0), length, self.device_gate
         )
+        if not self.device_gate:
+            # statically known: avoid two extra device->host round trips per
+            # chunk boundary (~30 ms each through the remote tunnel)
+            return ms, rs, views, length, False
+        return ms, rs, views, n_ticks, done
 
     # --------------------------------------------- on-device panda AIF gate
     def _panda_gate_device(self, real_state, stage):

@@ -276,7 +276,9 @@ class SimLoop:
             ms, rs, views, n_ticks, dev_done = self.tamp.run_chunk(
                 self.tamp.mppi_state, self.state, task_params, i, chunk
             )
-            views = np.asarray(jax.block_until_ready(views))
+            # ONE batched fetch: views + gate scalars together (separate
+            # int()/bool() pulls each cost a tunnel round trip)
+            views, n_ticks, dev_done = jax.device_get((views, n_ticks, dev_done))
             t1 = time.perf_counter()
             self.tamp.mppi_state, self.state = ms, rs
             n_ticks = int(n_ticks)  # the on-device gate stops mid-chunk
