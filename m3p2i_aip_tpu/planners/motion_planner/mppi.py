@@ -78,6 +78,12 @@ class MPPIConfig:
     sample_null_action: bool = False
     sample_previous_plan: bool = True
     sample_other_priors: bool = False
+    # Single-mode elite injection (extension): keep the best-weighted action
+    # sequence alive verbatim at sample slot 0, like the multi-modal path's
+    # per-mode elites at slots 0 and K/2 (mppi.py:407-409).  Rescues
+    # nonholonomic bases whose left/right-arc samples otherwise average to a
+    # straight-at-obstacle mean (observed: boxer push parks beside the box).
+    sample_best_traj: bool = False
     noise_abs_cost: bool = False
     filter_u: bool = False
     use_priors: bool = False
@@ -650,6 +656,7 @@ class MPPI:
             mean_action=self._shift(state.mean_action),
             mean_action_1=self._shift(state.mean_action_1),
             mean_action_2=self._shift(state.mean_action_2),
+            best_traj=self._shift(state.best_traj),
             best_traj_1=self._shift(state.best_traj_1),
             best_traj_2=self._shift(state.best_traj_2),
         )
@@ -707,6 +714,8 @@ class MPPI:
             # inject per-mode elite sequences at slots 0 and K/2 (mppi.py:407-409)
             act_seq = act_seq.at[0].set(state.best_traj_1)
             act_seq = act_seq.at[self.half_K].set(state.best_traj_2)
+        elif self.cfg.sample_best_traj:
+            act_seq = act_seq.at[0].set(state.best_traj)
 
         act_seq = self._gripper_override(act_seq, task)
         if self.sample_null_action:

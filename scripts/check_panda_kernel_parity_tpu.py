@@ -31,6 +31,11 @@ def main() -> None:
     ov = mp.rollout_override
     mp.rollout_override = None
     ref_fn = jax.jit(lambda s, a, t: mp._rollout(s, a, t))
+    # jit traces lazily: force the trace NOW, while the override is off,
+    # so ref_fn is permanently the XLA path (the closure is only read at
+    # trace time)
+    prime = jnp.zeros((mp.K, mp.T, 9), jnp.float32)
+    jax.block_until_ready(ref_fn(sK, prime, tp))
     mp.rollout_override = ov
     pl_fn = jax.jit(lambda s, a, t: ov(s, a, t))
 

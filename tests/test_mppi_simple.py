@@ -169,3 +169,45 @@ def test_halton_mode_random_sampling():
             break
     assert done is not None, f"random-sampling nav failed at {loop.log.robot_pos[-1]}"
     assert not np.array_equal(np.asarray(loop.tamp.mppi_state.rng), key0)
+
+
+def test_halton_elite_injection_flag():
+    """sample_best_traj=True (single-mode elite injection, extension mirroring
+    the multi-modal per-mode elites) must keep the best sequence alive and
+    actually change the planned actions."""
+    import jax.numpy as jnp
+
+    def build(flag):
+        mcfg = MPPIConfig(
+            num_samples=16,
+            horizon=12,
+            nx=2,
+            noise_sigma=[[0.25]],
+            u_min=[-1.0],
+            u_max=[1.0],
+            lambda_=0.5,
+            filter_u=False,
+            use_pallas=False,
+            exploration_noise=0.0,
+            sample_best_traj=flag,
+        )
+        cfg = types.SimpleNamespace(env_type="point_env", multi_modal=False, mppi=mcfg)
+
+        def dynamics(s, u, ext):
+            return s + _DT * u
+
+        def running_cost(s, u, task, mode):
+            return jnp.sum((s - _GOAL) ** 2), jnp.zeros(1)
+
+        return MPPI(cfg, dynamics, running_cost, zero_ext=lambda: jnp.zeros(1))
+
+    on, off = build(True), build(False)
+    s_on, s_off = on.init_state(), off.init_state()
+    task = make_task_params("navigation", [_GOAL, 0.0])
+    a_on = a_off = None
+    for _ in range(4):
+        seq_on, s_on, _ = on.command(s_on, jnp.zeros(1), task)
+        seq_off, s_off, _ = off.command(s_off, jnp.zeros(1), task)
+    assert np.all(np.isfinite(np.asarray(seq_on)))
+    assert not np.allclose(np.asarray(s_on.best_traj), 0.0)
+    assert not np.allclose(np.asarray(seq_on), np.asarray(seq_off), atol=1e-6)
