@@ -50,13 +50,52 @@ def _round_up(x: int, m: int) -> int:
 # mat3 = row-major nested list [[r00, r01, r02], ...])
 # --------------------------------------------------------------------------
 
+def _is_const(x) -> bool:
+    return isinstance(x, (int, float))
+
+
+def _term(a, b):
+    """a*b with trace-time folding for python-scalar b in {0, +/-1}.
+
+    Returns None for an exactly-zero term (caller skips it).  The FK chain's
+    roll/hand matrices and joint offsets are mostly exact zeros and +/-1s;
+    folding them at trace time cuts the 27-mul generic 3x3 product to the
+    6-12 ops the sparsity actually needs — with bit-identical results (only
+    0*finite and 1*x identities are used).
+    """
+    if _is_const(b):
+        if b == 0.0:
+            return None
+        if b == 1.0:
+            return a
+        if b == -1.0:
+            return -a
+    if _is_const(a):
+        if a == 0.0:
+            return None
+        if a == 1.0:
+            return b
+        if a == -1.0:
+            return -b
+    return a * b
+
+
+def _fold_sum(terms):
+    acc = None
+    for t in terms:
+        if t is None:
+            continue
+        acc = t if acc is None else acc + t
+    return 0.0 if acc is None else acc
+
+
 def _dot3(a, b):
-    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+    return _fold_sum([_term(a[i], b[i]) for i in range(3)])
 
 
 def _mat_mul(A, B):
     return [
-        [sum(A[i][k] * B[k][j] for k in range(3)) for j in range(3)]
+        [_fold_sum([_term(A[i][k], B[k][j]) for k in range(3)]) for j in range(3)]
         for i in range(3)
     ]
 
