@@ -466,24 +466,39 @@ def _panda_kernel(
                 for i in range(3)
             ]
 
-            # --- arm probe contact sensing (panda_env.py:314-343)
+            # --- arm probe contact sensing (panda_env.py:314-343): the 7
+            # probe spheres are SUBLANE-PACKED as one [7, Kp] block per
+            # component, so each static costs ONE packed sphere-AABB instead
+            # of 7 row ops (same trick as pallas_rollout.py pass 3)
             cb_lo = [cBp[i] - half[2][i] for i in range(3)]
             cb_hi = [cBp[i] + half[2][i] for i in range(3)]
             probes = (
                 links["link4"], links["link5"], links["link6"],
                 hand_pos, links["leftfinger"], links["rightfinger"], tip,
             )
-            for pr in probes:
-                for s in range(S):
-                    pen, nrm = _sphere_aabb(pr, 0.05, stat_lo[s], stat_hi[s])
-                    hit = jnp.maximum(pen, 0.0) * 2000.0
-                    if s == P["table_slot"]:
-                        tbl_fx, tbl_fy = tbl_fx - hit * nrm[0], tbl_fy - hit * nrm[1]
-                    if s == P["shelf_slot"]:
-                        shf_fx, shf_fy = shf_fx - hit * nrm[0], shf_fy - hit * nrm[1]
-                pen_b, nrm_b = _sphere_aabb(pr, 0.04, cb_lo, cb_hi)
-                hit_b = jnp.maximum(pen_b, 0.0) * 2000.0
-                cB_fx, cB_fy = cB_fx - hit_b * nrm_b[0], cB_fy - hit_b * nrm_b[1]
+            pk = [
+                jnp.concatenate([pr[i] for pr in probes], axis=0)
+                for i in range(3)
+            ]
+            if P["interpret"]:
+                # XLA:CPU fusion bomb guard (CLAUDE.md): a concat of computed
+                # FK chains consumed by several reductions re-evaluates the
+                # operands per element; the barrier (semantically identity)
+                # pins the packed block.  Mosaic needs no such guard.
+                pk = list(jax.lax.optimization_barrier(tuple(pk)))
+            for s in range(S):
+                pen, nrm = _sphere_aabb(pk, 0.05, stat_lo[s], stat_hi[s])
+                hit = jnp.maximum(pen, 0.0) * 2000.0
+                hx = jnp.sum(hit * nrm[0], axis=0, keepdims=True)
+                hy = jnp.sum(hit * nrm[1], axis=0, keepdims=True)
+                if s == P["table_slot"]:
+                    tbl_fx, tbl_fy = tbl_fx - hx, tbl_fy - hy
+                if s == P["shelf_slot"]:
+                    shf_fx, shf_fy = shf_fx - hx, shf_fy - hy
+            pen_b, nrm_b = _sphere_aabb(pk, 0.04, cb_lo, cb_hi)
+            hit_b = jnp.maximum(pen_b, 0.0) * 2000.0
+            cB_fx = cB_fx - jnp.sum(hit_b * nrm_b[0], axis=0, keepdims=True)
+            cB_fy = cB_fy - jnp.sum(hit_b * nrm_b[1], axis=0, keepdims=True)
 
             # held/free cubeA vs cubeB (panda_env.py:344-351)
             pen_ab, nrm_ab = _sphere_aabb(cAp, r_eff[1], cb_lo, cb_hi)
@@ -645,6 +660,7 @@ def make_panda_rollout(
         multi_modal=bool(multi_modal),
         pre_height_diff=float(cfg.pre_height_diff),
         tilt_cos_theta=0.5,
+        interpret=bool(interpret),
     )
     # per-LOCAL-K pallas_call construction (shard_map composability — see
     # pallas_rollout.py)
