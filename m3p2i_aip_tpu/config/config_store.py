@@ -132,16 +132,6 @@ def load_config(config_name: str = "config_point", overrides=None) -> ExampleCon
             _apply_dict(getattr(cfg, key), data)
         else:
             _set_dotted(cfg, key, _coerce(raw))
-
-    # Shelf picks need ~0.2 s of lookahead to lift the held cube over the
-    # shelf-stand contact plateau (T=12 at dt=0.01 is too short and wedges it
-    # in the contact-cost plateau ~1 seed in 20); give cube_on_shelf runs a
-    # 20-step horizon unless the user pinned one explicitly.
-    horizon_pinned = any(
-        ov.partition("=")[0].strip() == "mppi.horizon" for ov in overrides or []
-    )
-    if cfg.cube_on_shelf and not horizon_pinned:
-        cfg.mppi.horizon = max(cfg.mppi.horizon, 20)
     return cfg
 
 

@@ -577,7 +577,21 @@ def _panda_kernel(
         ori_cost = best[0] + best[1]
         d_ec = [ee[i] - cAp[i] for i in range(3)]
         regrasp = 10.0 * _norm3(d_ec) * (1.0 - att)
-        pick = 10.0 * goal_cost + 15.0 * ori_cost + regrasp + motion_cost
+        # z-up clearance shaping (cost_functions._zup_clearance parity):
+        # height deficit of the held cube wedged BESIDE a static (overlapping
+        # its expanded footprint with its bottom below that static's top)
+        hA = half[1]
+        zup = jnp.zeros((1, Kp), jnp.float32)
+        for s in range(S):
+            overlap = (
+                (cAp[0] > stat_lo[s][0] - hA[0]) & (cAp[0] < stat_hi[s][0] + hA[0])
+                & (cAp[1] > stat_lo[s][1] - hA[1]) & (cAp[1] < stat_hi[s][1] + hA[1])
+            )
+            wedged = (cAp[2] - hA[2] + 0.005) < stat_hi[s][2]
+            needed = jnp.maximum(stat_hi[s][2] + hA[2] + 0.01 - cAp[2], 0.0)
+            zup = jnp.maximum(zup, jnp.where(overlap & wedged, needed, 0.0))
+        pick = (10.0 * goal_cost + 15.0 * ori_cost + regrasp + motion_cost
+                + 30.0 * zup * att)
 
         # place (PandaObjective._place)
         d_lr = [links["leftfinger"][i] - links["rightfinger"][i] for i in range(3)]

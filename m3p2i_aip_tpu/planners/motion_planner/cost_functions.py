@@ -249,7 +249,32 @@ class PandaObjective:
         return (
             10.0 * goal_cost + 15.0 * ori_cost + regrasp
             + self._motion_cost(state)
+            + 30.0 * self._zup_clearance(state) * state.attached
         )
+
+    def _zup_clearance(self, state):
+        """Height deficit of the HELD cube wedged beside a static obstacle.
+
+        Extension (z-up potential, TODO round-2): the contact-cost plateau
+        can wedge the held cube against the shelf stand's side — every
+        sampled nudge still touches, so the binarized motion cost gives no
+        gradient and ~1 shelf seed in 20 stalls there.  When the cube
+        horizontally overlaps a static's (expanded) footprint while its
+        BOTTOM is below that static's top — i.e. wedged beside it, never
+        when resting ON it — prefer height until it clears."""
+        cube = state.body_pos[self.cubeA_slot]
+        half = self.params.body_half[self.cubeA_slot]
+        lo = self.params.stat_min  # [S, 3]
+        hi = self.params.stat_max
+        overlap = (
+            (cube[0] > lo[:, 0] - half[0])
+            & (cube[0] < hi[:, 0] + half[0])
+            & (cube[1] > lo[:, 1] - half[1])
+            & (cube[1] < hi[:, 1] + half[1])
+        )
+        wedged = (cube[2] - half[2] + 0.005) < hi[:, 2]
+        needed = jnp.maximum(hi[:, 2] + half[2] + 0.01 - cube[2], 0.0)
+        return jnp.max(jnp.where(overlap & wedged, needed, 0.0))
 
     def _place(self, state):
         links = self._fk(state)

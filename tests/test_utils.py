@@ -116,23 +116,6 @@ def test_two_terminal_tamp_roundtrip():
     assert trajs.ndim == 3  # [20, T, 2]
     client.close()
     server.close()
-
-
-def test_shelf_config_default_horizon():
-    """cube_on_shelf=True bumps the horizon to 20 (the held cube needs 0.2 s
-    of lookahead to clear the shelf-stand contact plateau) unless the user
-    pins mppi.horizon explicitly."""
-    from m3p2i_aip_tpu.config.config_store import load_config
-
-    assert load_config("config_panda").mppi.horizon == 12
-    cfg = load_config("config_panda", ["multi_modal=True", "cube_on_shelf=True"])
-    assert cfg.mppi.horizon == 20
-    pinned = load_config(
-        "config_panda", ["cube_on_shelf=True", "mppi.horizon=14"]
-    )
-    assert pinned.mppi.horizon == 14
-
-
 def test_teleop_inert_off_tty_and_render_overlay():
     """KeyboardTeleop degrades to a no-op when stdin is not a tty (CI), and
     the ASCII renderer overlays planned trajectories as '.' marks."""
