@@ -291,8 +291,6 @@ def command_world_vel(params, q, action):
     before the dot product — raw ``action[:2]`` would gate on meaningless
     per-wheel values.  Point/heijn actions are already world velocities.
     """
-    import jax.numpy as jnp
-
     if getattr(params, "robot_type", "point") == "boxer":
         v = params.wheel_radius * (action[..., 0] + action[..., 1]) * 0.5
         return v * jnp.stack([jnp.cos(q[2]), jnp.sin(q[2])])

@@ -240,10 +240,21 @@ class ReactiveTAMP:
         action = action_seq[0]
         ext = self._suction_ext_device(pre_state, real_state, task, action)
         real_state = self.env.step(real_state, action, ext)
-        return action, mppi_state, real_state, self.env.view_vec(real_state)
+        # top_trajs stays a DEVICE array output (no host transfer unless the
+        # caller renders it) so get_trajs works on the fused path too
+        return (
+            action,
+            mppi_state,
+            real_state,
+            self.env.view_vec(real_state),
+            aux["top_trajs"],
+        )
 
     def tick_fused(self, mppi_state, real_state, task, i):
-        return self._tick_fused(mppi_state, real_state, task, jnp.asarray(i))
+        action, ms, rs, vvec, self.top_trajs = self._tick_fused(
+            mppi_state, real_state, task, jnp.asarray(i)
+        )
+        return action, ms, rs, vvec
 
     def _point_success_device(self, real_state, task):
         """PLANNER_SIMPLE's success gate as traced data (task_planner.py:48-58

@@ -169,14 +169,20 @@ class SimLoop:
         from m3p2i_aip_tpu.utils.teleop import SHOVE_KEYS, KeyboardTeleop
 
         shove_target = "cubeA" if self.env.env_type == "panda_env" else "box"
+        if self.env.env_type != "panda_env":
+            names = list(self.env.params.actor_names)
+            if shove_target not in names:
+                shove_target = None  # e.g. albert scene ships no box
         show_view = False
         t = time.time()
         with KeyboardTeleop(enabled=interactive) as keys:
             if interactive and keys.active:
-                print(
-                    "interactive: i/j/k/l shove the "
-                    f"{shove_target}, v toggles the live view, q quits"
+                shove_msg = (
+                    f"i/j/k/l shove the {shove_target}, "
+                    if shove_target is not None
+                    else ""
                 )
+                print(f"interactive: {shove_msg}v toggles the live view, q quits")
             for i in range(n_steps):
                 if interactive:
                     for key in keys.poll():
@@ -184,7 +190,7 @@ class SimLoop:
                             return self.log
                         if key == "v":
                             show_view = not show_view
-                        elif key in SHOVE_KEYS:
+                        elif key in SHOVE_KEYS and shove_target is not None:
                             self.perturb_body(
                                 shove_target, list(SHOVE_KEYS[key]) + [0.0]
                             )

@@ -56,7 +56,11 @@ class KeyboardTeleop:
             return []
         keys = []
         while select.select([sys.stdin], [], [], 0)[0]:
-            keys.append(sys.stdin.read(1).lower())
+            ch = sys.stdin.read(1)
+            if not ch:  # EOF/hangup: select stays "readable" forever
+                self.active = False
+                break
+            keys.append(ch.lower())
         return keys
 
 
