@@ -590,8 +590,11 @@ def _panda_kernel(
             wedged = (cAp[2] - hA[2] + 0.005) < stat_hi[s][2]
             needed = jnp.maximum(stat_hi[s][2] + hA[2] + 0.01 - cAp[2], 0.0)
             zup = jnp.maximum(zup, jnp.where(overlap & wedged, needed, 0.0))
+        # stuck gate (see cost_functions._pick): only a held cube that has
+        # stopped moving counts as wedged
+        stuck = (_norm3(cAv) < 0.05).astype(jnp.float32)
         pick = (10.0 * goal_cost + 15.0 * ori_cost + regrasp + motion_cost
-                + 30.0 * zup * att)
+                + 30.0 * zup * att * stuck)
 
         # place (PandaObjective._place)
         d_lr = [links["leftfinger"][i] - links["rightfinger"][i] for i in range(3)]

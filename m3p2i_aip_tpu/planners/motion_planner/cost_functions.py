@@ -246,10 +246,15 @@ class PandaObjective:
         regrasp = (
             10.0 * jnp.linalg.norm(ee_pos - cube_pos) * (1.0 - state.attached)
         )
+        # stuck gate: the z-up potential must not reshape NORMAL descents
+        # past an obstacle (that measurably caused place-gate crossings at a
+        # larger lateral offset -> released cube slides off the stack); a
+        # wedge is a held cube that has stopped moving
+        stuck = jnp.linalg.norm(state.body_vel[self.cubeA_slot]) < 0.05
         return (
             10.0 * goal_cost + 15.0 * ori_cost + regrasp
             + self._motion_cost(state)
-            + 30.0 * self._zup_clearance(state) * state.attached
+            + 30.0 * self._zup_clearance(state) * state.attached * stuck
         )
 
     def _zup_clearance(self, state):
