@@ -268,39 +268,90 @@ def _panda_kernel(
     finger_xyz = [float(x) for x in panda_fk.FINGER_XYZ]
     base = [float(x) for x in P["base_pos"]]
 
-    def fk(q):
-        """Matrix FK (panda_fk.fk parity) on lane vectors.
+    def _col3(vals):
+        """[3, 1] constant column from 3 python floats (iota + selects:
+        pallas_call rejects captured array constants)."""
+        r = jax.lax.broadcasted_iota(jnp.int32, (3, 1), 0)
+        out = jnp.zeros((3, 1), jnp.float32)
+        for i, v in enumerate(vals):
+            if float(v) != 0.0:
+                out = jnp.where(r == i, jnp.float32(v), out)
+        return out
 
-        Returns dict with the link positions the physics/costs consume.
+    def _cols_mul_const(C, M):
+        """Packed-column rot @ const 3x3: new column k = sum_i M[i][k]*C[i],
+        with trace-time folding of the constant zeros/ones."""
+        out = []
+        for k in range(3):
+            acc = None
+            for i in range(3):
+                t = _term(C[i], M[i][k])
+                if t is None:
+                    continue
+                acc = t if acc is None else acc + t
+            out.append(0.0 if acc is None else acc)
+        return out
+
+    def fk(q):
+        """Matrix FK (panda_fk.fk parity), SUBLANE-PACKED.
+
+        The chain composes on packed [3, Kp] blocks — position and the three
+        rotation columns each live with their xyz components on sublanes, so
+        a joint update (offset FMA + roll + Rz) is ~10 packed vector ops
+        instead of ~30 row ops.  Results unpack to the row-vec3/mat3 layout
+        the rest of the kernel consumes.
         """
-        pos = [base[0] + 0.0 * q[0], base[1] + 0.0 * q[0], base[2] + 0.0 * q[0]]
-        rot = [[1.0 + 0.0 * q[0], 0.0 * q[0], 0.0 * q[0]],
-               [0.0 * q[0], 1.0 + 0.0 * q[0], 0.0 * q[0]],
-               [0.0 * q[0], 0.0 * q[0], 1.0 + 0.0 * q[0]]]
-        links = {}
+        one = 1.0 + 0.0 * q[0]  # [1, Kp] ones (broadcast seed)
+        pos = _col3(base) * one  # [3, Kp]
+        C = [_col3(v) * one for v in ([1, 0, 0], [0, 1, 0], [0, 0, 1])]
+        packed_links = {}
         for j in range(7):
             off = joint_xyz[j]
-            mv = _mat_vec(rot, off)
-            pos = [pos[i] + mv[i] for i in range(3)]
+            for i in range(3):
+                if off[i] != 0.0:
+                    pos = pos + C[i] * off[i]
             if roll_mats[j] is not None:
-                rot = _mat_mul(rot, roll_mats[j])
-            rot = _mat_mul(rot, _rot_z_lanes(q[j]))
+                C = _cols_mul_const(C, roll_mats[j])
+            c_, s_ = jnp.cos(q[j]), jnp.sin(q[j])  # [1, Kp] broadcast rows
+            C = [C[0] * c_ + C[1] * s_, C[1] * c_ - C[0] * s_, C[2]]
             if j >= 3:  # only link4..7 positions are consumed downstream
-                links[f"link{j+1}"] = pos
-        hv = _mat_vec(rot, hand_xyz)
-        hand_pos = [pos[i] + hv[i] for i in range(3)]
-        hand_rot = _mat_mul(rot, hand_mat)
-        links["hand"] = hand_pos
-        links["hand_rot"] = hand_rot
-        fv = _mat_vec(hand_rot, finger_xyz)
-        f_base = [hand_pos[i] + fv[i] for i in range(3)]
-        y_axis = _mat_col(hand_rot, 1)
-        links["leftfinger"] = [f_base[i] + y_axis[i] * q[7] for i in range(3)]
-        links["rightfinger"] = [f_base[i] - y_axis[i] * q[8] for i in range(3)]
-        ee = [(links["leftfinger"][i] + links["rightfinger"][i]) * 0.5 for i in range(3)]
-        links["ee"] = ee
-        z_axis = _mat_col(hand_rot, 2)
-        links["fingertip"] = [ee[i] + z_axis[i] * panda_fk.FINGERTIP_Z for i in range(3)]
+                packed_links[f"link{j+1}"] = pos
+        hand_pos = pos
+        for i in range(3):
+            if hand_xyz[i] != 0.0:
+                hand_pos = hand_pos + C[i] * hand_xyz[i]
+        CH = _cols_mul_const(C, hand_mat)
+        f_base = hand_pos
+        for i in range(3):
+            if finger_xyz[i] != 0.0:
+                f_base = f_base + CH[i] * finger_xyz[i]
+        left = f_base + CH[1] * q[7]
+        right = f_base - CH[1] * q[8]
+        ee = (left + right) * 0.5
+        tip = ee + CH[2] * panda_fk.FINGERTIP_Z
+        packed_links["hand"] = hand_pos
+        packed_links["leftfinger"] = left
+        packed_links["rightfinger"] = right
+        packed_links["ee"] = ee
+        packed_links["fingertip"] = tip
+
+        if P["interpret"]:
+            # XLA:CPU fusion bomb guard (see the probe block): pin the packed
+            # chains so per-consumer re-evaluation can't blow up interpret runs
+            names = sorted(packed_links)
+            pinned = jax.lax.optimization_barrier(
+                tuple(packed_links[n] for n in names) + tuple(CH)
+            )
+            packed_links = dict(zip(names, pinned[: len(names)]))
+            CH = list(pinned[len(names) :])
+
+        def unpack(v):  # [3, Kp] -> row-vec3
+            return [v[0:1, :], v[1:2, :], v[2:3, :]]
+
+        links = {n: unpack(v) for n, v in packed_links.items()}
+        # hand_rot back to the row-major nested-list mat3 the costs consume
+        cols = [unpack(CH[k]) for k in range(3)]
+        links["hand_rot"] = [[cols[k][i] for k in range(3)] for i in range(3)]
         return links
 
     stat_lo = P["stat_min"]   # [S][3] floats
