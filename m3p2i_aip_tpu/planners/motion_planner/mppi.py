@@ -574,9 +574,16 @@ class MPPI:
                 weights=w,
             )
             if self.cfg.update_cov_per_mode:
-                # per-mode analogue of the single-mode update below: each
+                # Per-mode analogue of the single-mode update below: each
                 # mode's masked weights (already normalized over the mode)
-                # drive its own second-moment estimate
+                # drive its own second-moment EMA.  These EMAs are consumed
+                # as RELATIVE exploration allocation (see _command_halton),
+                # never as absolute scales: the raw reference formula's
+                # steady state is kappa / step_size_cov ~ 0.007, measured to
+                # collapse sampling to ~0.1x of nominal within 25 ticks and
+                # park the corner hybrid 0.5 m short of the pocket.  The
+                # ratio between the two modes is the signal worth keeping —
+                # the sharpening winner vs the still-exploring loser.
                 def mode_cov(cov, w_m, mean_m):
                     delta = actions - mean_m[None]
                     second = jnp.mean(
@@ -690,11 +697,25 @@ class MPPI:
         if self.cfg.update_cov:
             scale = jnp.sqrt(state.cov_action)
         elif self.multi_modal and self.cfg.update_cov_per_mode:
-            # each mode's half-batch samples with its own adapted scale
+            # Each mode's half-batch samples at the NOMINAL scale times its
+            # relative share of the two second-moment EMAs, clamped to
+            # [0.5x, 2x].  Normalizing by the cross-mode mean cancels the
+            # common-mode collapse of the raw EMAs (both shrink toward
+            # kappa / step_size_cov as weights concentrate) while keeping
+            # the useful signal: the winning mode sharpens, the losing mode
+            # keeps exploring wide.
+            ref = 0.5 * (state.cov_action_1 + state.cov_action_2)
+            base = self.scale_tril**2
+            s1 = jnp.sqrt(
+                jnp.clip(state.cov_action_1 / ref, 0.25, 4.0) * base
+            )
+            s2 = jnp.sqrt(
+                jnp.clip(state.cov_action_2 / ref, 0.25, 4.0) * base
+            )
             scale = jnp.where(
                 (self.sample_mode == 0)[:, None, None],
-                jnp.sqrt(state.cov_action_1)[None, None],
-                jnp.sqrt(state.cov_action_2)[None, None],
+                s1[None, None],
+                s2[None, None],
             )
         else:
             scale = self.scale_tril
