@@ -195,7 +195,8 @@ def _make_panda_env(cfg, actors) -> Env:
     params = panda_env.build_params(actors, cfg.sim, cube_on_shelf=cfg.cube_on_shelf)
 
     def view_vec(state):
-        """[cube_state(7), cube_goal(7), ee_state(7)] in one device array."""
+        """[cube_state(7), cube_goal(7), ee_state(7), attached(1)] in one
+        device array."""
         from m3p2i_aip_tpu.ops import quat as quat_ops
 
         links = panda_fk.fk(state.q, params.base_pos)
@@ -211,6 +212,7 @@ def _make_panda_env(cfg, actors) -> Env:
                 state.body_quat[2],
                 ee_pos,
                 ee_quat,
+                state.attached[None],
             ]
         )
 
@@ -220,6 +222,7 @@ def _make_panda_env(cfg, actors) -> Env:
             "cube_state": vec[0:7],
             "cube_goal": vec[7:14],
             "ee_state": vec[14:21],
+            "attached": float(vec[21]),
         }
 
     def view(state):

@@ -183,7 +183,8 @@ def _sphere_aabb(c, radius, bmin, bmax):
 # --------------------------------------------------------------------------
 
 def _panda_kernel(
-    task_ref,   # SMEM [9]: task_id, goal_pos(3), goal_quat(4, xyzw), k0
+    task_ref,   # SMEM [10]: task_id, goal_pos(3), goal_quat(4, xyzw), k0,
+                #            zup_gate
     acts_ref,   # VMEM [T, 9, Kp] (pre-scaled, gripper channels pre-overridden)
     state_ref,  # VMEM [61, Kp]
     cost_ref,   # VMEM out [T, Kp]
@@ -641,11 +642,11 @@ def _panda_kernel(
             wedged = (cAp[2] - hA[2] + 0.005) < stat_hi[s][2]
             needed = jnp.maximum(stat_hi[s][2] + hA[2] + 0.01 - cAp[2], 0.0)
             zup = jnp.maximum(zup, jnp.where(overlap & wedged, needed, 0.0))
-        # stuck gate (see cost_functions._pick): only a held cube that has
-        # stopped moving counts as wedged
-        stuck = (_norm3(cAv) < 0.05).astype(jnp.float32)
+        # wedge gate (see cost_functions._pick): traced task data from the
+        # symbolic layer's goal-progress stall detector — a per-state
+        # velocity test cannot tell a wedge from contact-jitter rattle
         pick = (10.0 * goal_cost + 15.0 * ori_cost + regrasp + motion_cost
-                + 30.0 * zup * att * stuck)
+                + 30.0 * zup * att * task_ref[9])
 
         # place (PandaObjective._place)
         d_lr = [links["leftfinger"][i] - links["rightfinger"][i] for i in range(3)]
@@ -805,6 +806,7 @@ def make_panda_rollout(
                 task.task_id.astype(jnp.float32)[None],
                 task.goal.astype(jnp.float32),
                 k0v[None],
+                task.zup_gate.astype(jnp.float32)[None],
             ]
         )
 

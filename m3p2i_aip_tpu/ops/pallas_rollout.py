@@ -203,8 +203,11 @@ def _rollout_kernel(
     wm_r = 1.0 / P["robot_mass"]
     rr = P["robot_radius"]
 
-    # clip like the XLA dispatch (cost_functions.py lax.switch clip)
-    task_id = jnp.clip(task_ref[0], 0.0, 3.0)
+    # clip like the XLA dispatch (cost_functions.py lax.switch clip);
+    # reposition (id 8) runs the navigation cost, NOT a clip-to-push_pull
+    task_id = jnp.where(
+        task_ref[0] == 8.0, 0.0, jnp.clip(task_ref[0], 0.0, 3.0)
+    )
     gx = task_ref[1]
     gy = task_ref[2]
     k0 = task_ref[3]  # global sample offset of this shard (0 unsharded)
@@ -512,7 +515,13 @@ def _rollout_kernel(
         cos_theta = (r2bx * b2gx + r2by * b2gy) / jnp.maximum(d_rb * d_bg, 1e-9)
 
         nav = jnp.sqrt((qx - gx) ** 2 + (qy - gy) ** 2) + motion_cost
-        push = 3.0 * dist_cost + jnp.maximum(cos_theta, 0.0)
+        if rtype == "boxer":
+            # continuous side alignment for the diff-drive base (see
+            # PointObjective._push): gradient all the way around the box
+            push_align = 1.5 * (1.0 + cos_theta)
+        else:
+            push_align = jnp.maximum(cos_theta, 0.0)
+        push = 3.0 * dist_cost + push_align
 
         # pull: suction force (rollout threshold 1.8), velocity + align costs
         pdx, pdy = bx_ - qx, by_ - qy  # robot -> block
@@ -536,10 +545,26 @@ def _rollout_kernel(
         )
         crush_pen = jnp.max(penw, axis=0, keepdims=True)
         if P["arena_bound"] > 0.0:
-            # boundary contact counts as crush (PointObjective._pull)
-            lim_e = P["arena_bound"] - rr - 0.005
+            # boundary contact counts as crush (PointObjective._pull).
+            # 5 cm margin: box<->robot contact can hold the puller ~2 cm off
+            # its pin limit (measured on the boxer), so a contact-tight
+            # margin never fires and the pull deadlocks in wall pockets
+            lim_e = P["arena_bound"] - rr - 0.05
             at_edge = jnp.maximum(jnp.abs(qx), jnp.abs(qy)) > lim_e
             crush_pen = jnp.where(at_edge, 1.0, crush_pen)
+            if P["multi_modal"] and rtype == "boxer":
+                # pocket-goal endgame veto (PointObjective._pull, diff-drive
+                # only): flip the arbitration to push BEFORE a nonholonomic
+                # puller wedges itself between box and wall
+                pocket_lim = P["arena_bound"] - (
+                    2.0 * rr + P["half"][box][0]
+                )
+                goal_in_pocket = (
+                    jnp.maximum(jnp.abs(gx), jnp.abs(gy)) > pocket_lim
+                )
+                crush_pen = jnp.where(
+                    goal_in_pocket & (d_bg < 1.0), 1.0, crush_pen
+                )
         crush = jnp.where(crush_pen > 0.02, 1000.0, 0.0)
         pull = (3.0 * dist_cost + 3.0 * vel_cost
                 + 7.0 * jnp.maximum(-cos_theta, 0.0) + crush)

@@ -80,7 +80,19 @@ class PointObjective:
 
     def _push(self, state, goal):
         dist_cost, cos_theta, _, _ = self._dist_terms(state, goal)
-        align = jnp.maximum(cos_theta, 0.0)  # (cost_functions.py:57-58)
+        if self.params.robot_type == "boxer":
+            # Continuous side alignment for the diff-drive base: the
+            # reference's one-sided max(cos, 0) penalty is flat everywhere
+            # except between box and goal, so a nonholonomic robot parked
+            # BESIDE the box (cos ~ 0) gets no reward for partially
+            # circling to the push side — the repositioning arc (~1.6 s)
+            # exceeds the lookahead and the planner sits in a fixed point
+            # (measured: pure push 1/20, corner hybrid 9/20 at T=30).
+            # 1 + cos is 0 at the ideal push pose and grows smoothly to 2
+            # between box and goal: every step around the box pays off.
+            align = 1.5 * (1.0 + cos_theta)
+        else:
+            align = jnp.maximum(cos_theta, 0.0)  # (cost_functions.py:57-58)
         return 3.0 * dist_cost + 1.0 * align
 
     def _wall_crush(self, state):
@@ -125,11 +137,35 @@ class PointObjective:
         # the arena clamp (point_env.py arena_bound) stops wall penetration,
         # so a squeezed robot now reads pen==0 while pinned at the boundary —
         # count boundary contact itself as crush or the arbitration never
-        # vetoes pulls into zero-clearance pockets
+        # vetoes pulls into zero-clearance pockets.  5 cm margin: box<->robot
+        # contact can hold the puller ~2 cm off its pin limit (measured on
+        # the boxer), so a contact-tight margin never fires
         if float(self.params.arena_bound) > 0.0:
             lim = float(self.params.arena_bound) - float(self.params.robot_radius)
-            at_edge = jnp.max(jnp.abs(state.q[:2])) > lim - 0.005
+            at_edge = jnp.max(jnp.abs(state.q[:2])) > lim - 0.05
             crush_pen = jnp.where(at_edge, 1.0, crush_pen)
+            if self.multi_modal and self.params.robot_type == "boxer":
+                # Pocket-goal endgame veto (diff-drive only): completing a
+                # pull at a goal within one box-face + robot-diameter of the
+                # boundary requires the robot to occupy the zero-clearance
+                # strip between box and wall.  Flip the arbitration to push
+                # while the robot still has room to swing around the box —
+                # the positional at_edge veto alone fires only after a
+                # nonholonomic base is already wedged (measured: boxer
+                # freezes in the pocket, 1/20).  Holonomic bases slide out
+                # of the pocket fine and pull 3x faster than the early
+                # flip (point: tick 46 vs 137), so they keep the deep pull.
+                # Multi-modal only: with no push half to flip to, a vetoed
+                # pull is worse than a try.
+                rr = float(self.params.robot_radius)
+                pocket_lim = float(self.params.arena_bound) - (
+                    2.0 * rr + self.params.dyn_half[self.box_dyn_slot, 0]
+                )
+                goal_in_pocket = jnp.max(jnp.abs(goal)) > pocket_lim
+                d_bg = jnp.linalg.norm(goal - block_pos)
+                crush_pen = jnp.where(
+                    goal_in_pocket & (d_bg < 1.0), 1.0, crush_pen
+                )
         crush = jnp.where(crush_pen > 0.02, 1000.0, 0.0)
         cost = 3.0 * dist_cost + 3.0 * vel_cost + 7.0 * align + crush
 
@@ -164,9 +200,12 @@ class PointObjective:
             )
             return cost, ext
 
-        return jax.lax.switch(
-            jnp.clip(task.task_id, 0, 3), [nav, push, pull, push_pull], None
-        )
+        # reposition (id 8: drive to a standoff pose during the diff-drive
+        # pocket endgame) runs the navigation cost; it is excluded from the
+        # success gates instead (task_planner.check_task_success,
+        # reactive_tamp._success_device)
+        tid = jnp.where(task.task_id == 8, 0, jnp.clip(task.task_id, 0, 3))
+        return jax.lax.switch(tid, [nav, push, pull, push_pull], None)
 
 
 class PandaObjective:
@@ -246,15 +285,18 @@ class PandaObjective:
         regrasp = (
             10.0 * jnp.linalg.norm(ee_pos - cube_pos) * (1.0 - state.attached)
         )
-        # stuck gate: the z-up potential must not reshape NORMAL descents
+        # wedge gate: the z-up potential must not reshape NORMAL descents
         # past an obstacle (that measurably caused place-gate crossings at a
-        # larger lateral offset -> released cube slides off the stack); a
-        # wedge is a held cube that has stopped moving
-        stuck = jnp.linalg.norm(state.body_vel[self.cubeA_slot]) < 0.05
+        # larger lateral offset -> released cube slides off the stack).  A
+        # per-rollout-state velocity test cannot tell a wedge from contact
+        # jitter (a wedged cube RATTLES at 0.2-0.5 m/s; measured shelf seeds
+        # 106/115 never latched a <0.05 gate) — so the gate is TRACED task
+        # data: the symbolic layer flags the pick as wedged when goal
+        # progress stalls with the cube attached (task.zup_gate)
         return (
             10.0 * goal_cost + 15.0 * ori_cost + regrasp
             + self._motion_cost(state)
-            + 30.0 * self._zup_clearance(state) * state.attached * stuck
+            + 30.0 * self._zup_clearance(state) * state.attached * task.zup_gate
         )
 
     def _zup_clearance(self, state):

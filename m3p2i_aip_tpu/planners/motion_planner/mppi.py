@@ -118,6 +118,13 @@ class TaskParams:
     task_id: jnp.ndarray  # int32 scalar
     goal: jnp.ndarray  # [7] pos(3) + quat(4); 2D goals use [:2]
     gripper: jnp.ndarray  # int32: 0 none, 1 open, 2 close
+    # f32 scalar, 1.0 while the symbolic layer flags the pick as WEDGED
+    # (goal progress stalled with the cube attached): activates the z-up
+    # clearance shaping in the pick cost.  Traced data so the planner can
+    # flip it without a retrace; computed host-side per tick
+    # (PLANNER_AIF_PANDA.update_plan) or on-device in the chunked gate
+    # (ReactiveTAMP._panda_gate_device) — same stall/release thresholds
+    zup_gate: jnp.ndarray
 
 
 TASK_IDS = {
@@ -129,6 +136,9 @@ TASK_IDS = {
     "pick": 5,
     "place": 6,
     "ee_reach": 7,  # albert mobile manipulation (no reference equivalent)
+    # diff-drive pocket-endgame standoff drive (PLANNER_SIMPLE latch):
+    # navigation cost, but never a success state
+    "reposition": 8,
     # non-planning tasks map to a safe default cost (the reference degrades
     # to motion-cost-only for unknown tasks, cost_functions.py:19-36)
     "idle": 0,
@@ -138,7 +148,9 @@ TASK_IDS = {
 }
 
 
-def make_task_params(task: str, goal, gripper_command: str = "none") -> TaskParams:
+def make_task_params(
+    task: str, goal, gripper_command: str = "none", zup_gate: float = 0.0
+) -> TaskParams:
     g = np.zeros(7, dtype=np.float32)
     goal = np.asarray(goal, dtype=np.float32).reshape(-1)
     g[: goal.shape[0]] = goal
@@ -147,6 +159,7 @@ def make_task_params(task: str, goal, gripper_command: str = "none") -> TaskPara
         task_id=jnp.asarray(TASK_IDS[task], dtype=jnp.int32),
         goal=jnp.asarray(g),
         gripper=jnp.asarray(grip, dtype=jnp.int32),
+        zup_gate=jnp.asarray(zup_gate, dtype=jnp.float32),
     )
 
 

@@ -14,6 +14,8 @@ View schemas:
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 
 from m3p2i_aip_tpu.planners.task_planner import (
@@ -22,6 +24,16 @@ from m3p2i_aip_tpu.planners.task_planner import (
     state_action_templates,
 )
 from m3p2i_aip_tpu.ops import general_ori_cube2goal
+
+
+# Wedged-pick stall-detector thresholds, shared by the host mirror
+# (PLANNER_AIF_PANDA.update_plan) and the on-device chunked gate
+# (ReactiveTAMP._zup_update): the zup_gate flips on after ZUP_STALL_TICKS
+# ticks with no new best progress toward the place goal while the cube is
+# attached, and releases after ZUP_RELEASE_M of progress past the latch.
+ZUP_STALL_TICKS = 30
+ZUP_IMPROVE_M = 0.005
+ZUP_RELEASE_M = 0.05
 
 
 def set_task_planner(cfg):
@@ -38,12 +50,104 @@ class PLANNER_SIMPLE:
         self.task = cfg.task
         self.curr_goal = np.asarray(cfg.goal, dtype=np.float32)
         self.dist_threshold = 0.1
+        # Diff-drive pocket-endgame plan (extension; no reference
+        # equivalent — its published scenarios are point-robot only).
+        # Completing a pull at a goal inside a zero-clearance wall pocket
+        # requires the puller to occupy the strip between box and wall; a
+        # nonholonomic base then cannot swing out past the box it is
+        # suction-locked to (measured: boxer corner hybrid 1/20; with only
+        # the rollout-level veto the pull half "holds" the box at the veto
+        # radius forever, 9/20; a bare flip to push leaves the robot
+        # diametrically opposite the push pose and it wedges at the wall).
+        # The symbolic layer owns the fix — a three-stage plan:
+        #   0 approach:   push_pull (pull drags the box to the pocket mouth)
+        #   1 reposition: navigate to a standoff pose BEHIND the box on the
+        #                 box->goal line (navigation cost, no success gate)
+        #   2 finish:     pure push drives the box flush into the corner
+        # Stage 0 latches on proximity OR stall: en route to a corner goal
+        # the pull drags the box along a wall, and the boundary-crush veto
+        # can kill the pull half while the box is still far outside the
+        # proximity radius (measured: total freeze at d_bg=2.2, robot
+        # wall-pinned on the goal side of the box).  A stalled box with the
+        # robot adjacent means the pull is vetoed/stuck — reposition then.
+        # Stage 2 re-latches reposition on a push stall (bounded), giving a
+        # push <-> reposition recovery cycle for fresh wedges on the way in.
+        self._base_task = cfg.task
+        self._base_goal = self.curr_goal.copy()
+        self._pocket_lim: Optional[float] = None
+        self._pocket_stage = 0
+        self._stall_prev: Optional[np.ndarray] = None
+        self._stall_n = 0
+        self._relatch_left = 5
+
+    _POCKET_LATCH_R = 1.25  # > the 1.0 rollout veto radius: latch fires first
+    _STANDOFF = 0.75  # m behind the box center (robot r 0.3 + box half 0.2)
+    _STALL_CALLS = 15  # update_plan calls (ticks, or chunks when chunked)
+
+    def configure_pocket_endgame(self, pocket_lim: float) -> None:
+        """Arm the staged endgame (called for diff-drive bases only) with
+        the arena pocket limit: goals beyond ``pocket_lim`` from the center
+        sit in a wall pocket the robot cannot stand in."""
+        if self._base_task in ("push_pull", "hybrid"):
+            self._pocket_lim = pocket_lim
+
+    def _box_stalled(self, box, robot) -> bool:
+        """True after _STALL_CALLS consecutive calls with the box unmoving
+        while the robot sits beside it (an actively pushed/pulled box moves
+        every tick; a near-robot stalled box means the contact task is
+        vetoed or wedged)."""
+        moved = (
+            self._stall_prev is None
+            or np.linalg.norm(box - self._stall_prev) > 0.002
+        )
+        self._stall_prev = box.copy()
+        if not moved and np.linalg.norm(robot - box) < 0.8:
+            self._stall_n += 1
+        else:
+            self._stall_n = 0
+        return self._stall_n >= self._STALL_CALLS
+
+    def _latch_reposition(self, box) -> None:
+        away = box - self._base_goal[:2]
+        away = away / max(float(np.linalg.norm(away)), 1e-6)
+        self.task = "reposition"
+        self.curr_goal = (box + self._STANDOFF * away).astype(np.float32)
+        self._pocket_stage = 1
+        self._stall_n = 0
 
     def update_plan(self, view) -> None:
-        pass
+        if (
+            self._pocket_lim is None
+            or np.max(np.abs(self._base_goal[:2])) <= self._pocket_lim
+        ):
+            return
+        box = np.asarray(view["box_pos"], dtype=np.float32)[:2]
+        robot = np.asarray(view["robot_pos"], dtype=np.float32)[:2]
+        stalled = self._box_stalled(box, robot)
+        if self._pocket_stage == 0:
+            near = (
+                np.linalg.norm(box - self._base_goal[:2])
+                < self._POCKET_LATCH_R
+            )
+            if near or stalled:
+                self._latch_reposition(box)
+        elif self._pocket_stage == 1:
+            if np.linalg.norm(robot - self.curr_goal[:2]) < 0.15:
+                self.task = "push"
+                self.curr_goal = self._base_goal.copy()
+                self._pocket_stage = 2
+                self._stall_n = 0
+        elif stalled and self._relatch_left > 0:
+            self._relatch_left -= 1
+            self._latch_reposition(box)
 
     def reset_plan(self) -> None:
-        pass
+        self.task = self._base_task
+        self.curr_goal = self._base_goal.copy()
+        self._pocket_stage = 0
+        self._stall_prev = None
+        self._stall_n = 0
+        self._relatch_left = 5
 
     def check_task_success(self, view) -> bool:
         if self.task == "navigation":
@@ -86,6 +190,33 @@ class PLANNER_AIF_PANDA(PLANNER_SIMPLE):
         self.pre_pick_place_threshold = float(cfg.pre_height_diff) + 0.005
         self.pre_place_loc = np.zeros(7, dtype=np.float32)
         self.dist_threshold = 0.1
+        self._zup_reset()
+
+    def _zup_reset(self) -> None:
+        self.zup_gate = 0.0
+        self._zup_best = np.inf
+        self._zup_n = 0
+        self._zup_latch = 0.0
+
+    def _zup_update(self, d: float, in_pick: bool, att: float) -> None:
+        """Host mirror of ReactiveTAMP._zup_update (same thresholds): flag
+        the pick as wedged when the attached cube stops making new best
+        progress toward the place goal (a wedged cube RATTLES at 0.2-0.5
+        m/s, so no instantaneous-velocity test can detect it)."""
+        improved = d < self._zup_best - ZUP_IMPROVE_M
+        self._zup_best = min(self._zup_best, d)
+        active = in_pick and att > 0.5
+        self._zup_n = self._zup_n + 1 if (active and not improved) else 0
+        was_on = self.zup_gate > 0.5
+        turn_on = self._zup_n >= ZUP_STALL_TICKS
+        if active and turn_on and not was_on:
+            self._zup_latch = d
+        release = d < self._zup_latch - ZUP_RELEASE_M
+        self.zup_gate = (
+            1.0 if (active and ((was_on and not release) or turn_on)) else 0.0
+        )
+        if not in_pick:
+            self._zup_best = np.inf
 
     def get_obs(self, cube_state, cube_goal, ee_state) -> None:
         """Discrete observation {0,1,2} with hysteresis (task_planner.py:58-76)."""
@@ -121,6 +252,11 @@ class PLANNER_AIF_PANDA(PLANNER_SIMPLE):
         self.task = self.curr_action
         if self.curr_action == "pick":
             self.curr_goal = self.pre_place_loc
+        self._zup_update(
+            float(np.linalg.norm(self.pre_place_loc[:3] - cube_state[:3])),
+            self.task == "pick",
+            float(view.get("attached", 0.0)),
+        )
 
     def reset_plan(self) -> None:
         self.task = "idle"
@@ -130,6 +266,7 @@ class PLANNER_AIF_PANDA(PLANNER_SIMPLE):
         self.place_always = False
         mdp_isCubeAt = state_action_templates.MDPIsCubeAtReal()
         self.ai_agent_task = [ai_agent.AiAgent(mdp_isCubeAt)]
+        self._zup_reset()
 
     def check_task_success(self, view) -> bool:
         """Success = cube within 0.04 of goal while placing (task_planner.py:100-107)."""

@@ -32,7 +32,12 @@ from m3p2i_aip_tpu.ops import general_ori_cube2goal
 from m3p2i_aip_tpu.planners.motion_planner import cost_functions
 from m3p2i_aip_tpu.planners.motion_planner.m3p2i import M3P2I
 from m3p2i_aip_tpu.planners.motion_planner.mppi import TaskParams, make_task_params
-from m3p2i_aip_tpu.planners.task_planner.task_planner import set_task_planner
+from m3p2i_aip_tpu.planners.task_planner.task_planner import (
+    ZUP_IMPROVE_M,
+    ZUP_RELEASE_M,
+    ZUP_STALL_TICKS,
+    set_task_planner,
+)
 from m3p2i_aip_tpu.utils import skill_utils
 
 
@@ -65,6 +70,20 @@ class ReactiveTAMP:
 
         self.task_planner = set_task_planner(cfg)
         self.task_success = False
+        if (
+            self.env.env_type == "point_env"
+            and self.env.params.robot_type == "boxer"
+            and float(self.env.params.arena_bound) > 0.0
+            and hasattr(self.task_planner, "configure_pocket_endgame")
+        ):
+            # diff-drive pocket-endgame latch (see PLANNER_SIMPLE): same
+            # pocket geometry the pull cost's veto uses
+            p = self.env.params
+            self.task_planner.configure_pocket_endgame(
+                float(p.arena_bound)
+                - 2.0 * float(p.robot_radius)
+                - float(p.dyn_half[self.objective.box_dyn_slot, 0])
+            )
 
         self.motion_planner = M3P2I(
             cfg,
@@ -109,7 +128,7 @@ class ReactiveTAMP:
         self._tick_fused = jax.jit(self._tick_fused_impl)
         self._run_chunk = jax.jit(self._run_chunk_impl, static_argnums=(4, 5))
         self._run_chunk_panda = jax.jit(
-            self._run_chunk_panda_impl, static_argnums=(3,)
+            self._run_chunk_panda_impl, static_argnums=(4,)
         )
 
     # ------------------------------------------------------------------ api
@@ -163,11 +182,17 @@ class ReactiveTAMP:
         grip = gripper if self.env.env_type == "panda_env" else "none"
         # cache the device TaskParams: the symbolic plan changes at ~1 Hz,
         # so skip the host->device puts on unchanged ticks
-        key = (self.task_planner.task, tuple(np.ravel(self.task_planner.curr_goal)), grip)
+        zup = float(getattr(self.task_planner, "zup_gate", 0.0))
+        key = (
+            self.task_planner.task,
+            tuple(np.ravel(self.task_planner.curr_goal)),
+            grip,
+            zup,
+        )
         if getattr(self, "_tp_key", None) != key:
             self._tp_key = key
             self._tp_cached = make_task_params(
-                self.task_planner.task, self.task_planner.curr_goal, grip
+                self.task_planner.task, self.task_planner.curr_goal, grip, zup
             )
         return self._tp_cached
 
@@ -355,7 +380,32 @@ class ReactiveTAMP:
         return ms, rs, views, n_ticks, done
 
     # --------------------------------------------- on-device panda AIF gate
-    def _panda_gate_device(self, real_state, stage):
+    @staticmethod
+    def zup_zs0():
+        """Initial [best_d, stall_n, gate, latch_d] stall carry for the
+        wedged-pick detector (thresholds shared with the host mirror —
+        task_planner.ZUP_*)."""
+        return jnp.asarray([1e9, 0.0, 0.0, 0.0], jnp.float32)
+
+    def _zup_update(self, zs, d, in_pick, att):
+        """One stall-detector step (pure; jnp scalars in, f32[4] out).
+        Device twin of PLANNER_AIF_PANDA._zup_update."""
+        best, n, gate, latch = zs[0], zs[1], zs[2], zs[3]
+        improved = d < best - ZUP_IMPROVE_M
+        best = jnp.minimum(best, d)
+        active = in_pick & (att > 0.5)
+        n = jnp.where(active & ~improved, n + 1.0, 0.0)
+        was_on = gate > 0.5
+        turn_on = n >= float(ZUP_STALL_TICKS)
+        latch = jnp.where(active & turn_on & ~was_on, d, latch)
+        release = d < latch - ZUP_RELEASE_M
+        gate = jnp.where(
+            active & ((was_on & ~release) | turn_on), 1.0, 0.0
+        )
+        best = jnp.where(in_pick, best, 1e9)
+        return jnp.stack([best, n, gate, latch])
+
+    def _panda_gate_device(self, real_state, stage, zs):
         """The PLANNER_AIF_PANDA decision as traced data (task_planner.py:90-123).
 
         The AIF machinery's observable behavior on MDPIsCubeAtReal is a
@@ -365,7 +415,7 @@ class ReactiveTAMP:
         (symbolic switches no longer need a host sync every tick).
         Equivalence against the host path is asserted in
         tests/test_tamp_integration.py.
-        Returns (TaskParams, new_stage, success).
+        Returns (TaskParams, new_stage, success, new_zs).
         """
         from m3p2i_aip_tpu.models import panda_fk
 
@@ -389,40 +439,56 @@ class ReactiveTAMP:
             2,
             jnp.where((reach_cost < th) | (stage >= 1), 1, 0),
         ).astype(jnp.int32)
+        zs = self._zup_update(
+            zs,
+            jnp.linalg.norm(pre_place[:3] - cube),
+            new_stage == 1,
+            real_state.attached,
+        )
         task = TaskParams(
             task_id=jnp.asarray(4, jnp.int32) + new_stage,
             goal=pre_place,
             # reach/place -> open(1), pick -> close(2) (m3p2i.py:22-28)
             gripper=jnp.where(new_stage == 1, 2, 1).astype(jnp.int32),
+            zup_gate=zs[2],
         )
         success = (new_stage == 2) & (dist_cost < 0.04)
-        return task, new_stage, success
+        return task, new_stage, success, zs
 
-    def _run_chunk_panda_impl(self, mppi_state, real_state, stage, length: int):
+    def _run_chunk_panda_impl(
+        self, mppi_state, real_state, stage, zs, length: int
+    ):
         """``length`` panda ticks in ONE dispatch: the AIF gate, replan, and
         real-env step all run on-device under lax.scan (the point env's
-        chunked mode extended to the panda via _panda_gate_device)."""
+        chunked mode extended to the panda via _panda_gate_device).  ``zs``
+        is the wedged-pick stall carry (see zup_zs0)."""
 
         def body(carry, _):
-            ms, rs, st, done = carry
-            task, st, succ = self._panda_gate_device(rs, st)
+            ms, rs, st, zc, done = carry
+            task, st, succ, zc = self._panda_gate_device(rs, st, zc)
             done = done | succ
             action_seq, ms, aux = self.motion_planner._command_impl(ms, rs, task)
             action = jnp.where(done, jnp.zeros_like(action_seq[0]), action_seq[0])
             rs = self.env.step(rs, action, self.env.zero_ext())
-            return (ms, rs, st, done), (self.env.view_vec(rs), st, done)
+            return (ms, rs, st, zc, done), (self.env.view_vec(rs), st, done)
 
-        (mppi_state, real_state, stage, done), (views, stages, dones) = jax.lax.scan(
-            body,
-            (mppi_state, real_state, stage, jnp.asarray(False)),
-            None,
-            length=length,
+        (mppi_state, real_state, stage, zs, done), (views, stages, dones) = (
+            jax.lax.scan(
+                body,
+                (mppi_state, real_state, stage, zs, jnp.asarray(False)),
+                None,
+                length=length,
+            )
         )
-        return mppi_state, real_state, stage, done, views, stages, dones
+        return mppi_state, real_state, stage, zs, done, views, stages, dones
 
-    def run_chunk_panda(self, mppi_state, real_state, stage, length: int):
+    def run_chunk_panda(self, mppi_state, real_state, stage, zs, length: int):
         return self._run_chunk_panda(
-            mppi_state, real_state, jnp.asarray(stage, jnp.int32), length
+            mppi_state,
+            real_state,
+            jnp.asarray(stage, jnp.int32),
+            jnp.asarray(zs, jnp.float32),
+            length,
         )
 
     # -------------------------------------------------------------- queries

@@ -92,6 +92,7 @@ class SimLoop:
         self.log = TickLog()
         self._view = None
         self._panda_stage = 0
+        self._panda_zs = None
 
     def warmup(self, n: int = 150) -> None:
         """Settle the scene before planning (sim.py:32-33)."""
@@ -321,11 +322,16 @@ class SimLoop:
         latches do on the per-tick path."""
         _STAGE_TASK = ("reach", "pick", "place")
         stage = getattr(self, "_panda_stage", 0)
+        zs = getattr(self, "_panda_zs", None)
+        if zs is None:
+            zs = np.asarray(self.tamp.zup_zs0())
         i = 0
         while i < n_steps:
             t0 = time.perf_counter()
-            ms, rs, stage_dev, done, views, stages, dones = self.tamp.run_chunk_panda(
-                self.tamp.mppi_state, self.state, stage, chunk
+            ms, rs, stage_dev, zs_dev, done, views, stages, dones = (
+                self.tamp.run_chunk_panda(
+                    self.tamp.mppi_state, self.state, stage, zs, chunk
+                )
             )
             views = np.asarray(jax.block_until_ready(views))
             stages = np.asarray(stages)
@@ -333,7 +339,9 @@ class SimLoop:
             t1 = time.perf_counter()
             self.tamp.mppi_state, self.state = ms, rs
             stage = int(stage_dev)
+            zs = np.asarray(zs_dev)
             self._panda_stage = stage
+            self._panda_zs = zs
             per = (t1 - t0) / chunk
             done_at = None
             for k in range(chunk):

@@ -198,6 +198,14 @@ def test_fused_rollout_interpret_matches_xla_cpu(config_name):
         (jnp.asarray([0.0, 1.55]), jnp.asarray([0.0, 7.0])),
         # corner sprint above the cap with suction range of nothing
         (jnp.asarray([-3.3, -3.3]), jnp.asarray([-6.0, -6.0])),
+        # box parked at the pocket mouth (d_bg < 1 of the corner goal):
+        # exercises the diff-drive pocket-goal pull veto and the widened
+        # at_edge boundary-crush margin in both paths
+        (
+            jnp.asarray([-2.6, -2.9]),
+            jnp.asarray([-1.0, -1.0]),
+            jnp.asarray([-3.3, -3.2]),
+        ),
     ]
     # compile ONCE; task/state/acts are traced args (interpret-mode compiles
     # of the full rollout program are minutes each on CPU)
@@ -205,11 +213,16 @@ def test_fused_rollout_interpret_matches_xla_cpu(config_name):
     n_u = 3 if full.robot_type == "heijn" else 2
     ref_fn = jax.jit(_xla_rollout)
     pl_fn = jax.jit(lambda s, a, t: ov(s, a, t))
-    for q0, qd0 in starts:
+    for entry in starts:
+        q0, qd0 = entry[0], entry[1]
         if n_q == 3:  # 3-dof bases carry yaw in q[2]
             q0 = jnp.concatenate([q0, jnp.asarray([0.3])])
             qd0 = jnp.concatenate([qd0, jnp.asarray([0.5])])
         state = tamp.env.init_state().replace(q=q0, qd=qd0)
+        if len(entry) == 3:  # box position override
+            state = state.replace(
+                dyn_pos=state.dyn_pos.at[obj.box_dyn_slot].set(entry[2])
+            )
         tp = tamp.tamp_interface(state)
         sK = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (K,) + x.shape), state
@@ -286,12 +299,13 @@ def test_panda_rollout_interpret_matches_xla_cpu():
     goal_q = jnp.asarray([0.0, 0.0, 0.383, 0.924])
     pick_goal = jnp.concatenate([jnp.asarray([0.4, 0.3, 1.3]), goal_q])
 
-    def tp(task_id, goal=None, gripper=0):
+    def tp(task_id, goal=None, gripper=0, zup_gate=0.0):
         g = jnp.zeros(7) if goal is None else goal
         return TaskParams(
             task_id=jnp.asarray(task_id, jnp.int32),
             goal=g.astype(jnp.float32),
             gripper=jnp.asarray(gripper, jnp.int32),
+            zup_gate=jnp.asarray(zup_gate, jnp.float32),
         )
 
     # attached-cube state: cube welded 8 cm below the hand
@@ -317,6 +331,8 @@ def test_panda_rollout_interpret_matches_xla_cpu():
         (base, tp(4), 0.0),        # reach, both grasp modes
         (base, tp(4), -1.5),       # reach with gripper closing -> attach fires
         (attached, tp(5, pick_goal), -1.5),  # pick: ori + motion cost
+        # pick with the wedge gate ON: z-up clearance term live in both paths
+        (attached, tp(5, pick_goal, zup_gate=1.0), -1.5),
         (tumbling, tp(4), 0.0),    # rotmat-vs-quat integration drift bound
         (nearB, tp(5, pick_goal), -1.5),     # contact forces -> motion cost
         (attached, tp(6), 1.5),    # place: gripper opening -> detach

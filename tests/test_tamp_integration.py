@@ -253,14 +253,18 @@ def test_panda_device_gate_matches_host_planner():
     loop.warmup(20)
     gate = jax.jit(loop.tamp._panda_gate_device)
     stage = jnp.asarray(0, jnp.int32)
+    zs = loop.tamp.zup_zs0()
     stage_task = ("reach", "pick", "place")
     dev_seq, host_seq = [], []
+    dev_zup, host_zup = [], []
     for i in range(400):
         # device gate BEFORE the host tick mutates the latches
-        task_dev, stage, success_dev = gate(loop.state, stage)
+        task_dev, stage, success_dev, zs = gate(loop.state, stage, zs)
         done = loop.tick(i)
         dev_seq.append(stage_task[int(stage)])
         host_seq.append(loop.tamp.task_planner.task)
+        dev_zup.append(float(task_dev.zup_gate))
+        host_zup.append(float(loop.tamp.task_planner.zup_gate))
         if done:
             assert bool(success_dev) or host_seq[-1] == "place", i
             break
@@ -277,6 +281,10 @@ def test_panda_device_gate_matches_host_planner():
     assert switches(dev_seq) == switches(host_seq), (
         switches(dev_seq), switches(host_seq)
     )
+    # wedged-pick stall detector agrees too (both all-zero on a clean
+    # table pick, same <=2-tick switch slack otherwise)
+    zup_mismatch = sum(d != h for d, h in zip(dev_zup, host_zup))
+    assert zup_mismatch <= 4, (zup_mismatch, dev_zup, host_zup)
 
 
 def test_panda_chunked_completes_pick_place():
