@@ -116,3 +116,101 @@ def test_planner_patrolling_cycles():
     assert np.allclose(p.curr_goal, [0, 0])
     p.reset_plan()
     assert p.goal_id == 0
+
+
+def test_pocket_endgame_staged_latches():
+    """Diff-drive pocket endgame (PLANNER_SIMPLE): proximity latch,
+    box-stall latch, reposition -> push transition, and the bounded
+    push -> reposition re-latch."""
+    cfg = _Cfg()
+    cfg.task = "push_pull"
+    cfg.goal = [-3.75, -3.75]
+    p = set_task_planner(cfg)
+    p.configure_pocket_endgame(3.15)
+
+    # box far from goal and MOVING: no latch
+    robot = np.array([0.0, 0.5])
+    for k in range(40):
+        view = {"box_pos": np.array([0.0, 2.0 - 0.01 * k]), "robot_pos": robot}
+        p.update_plan(view)
+    assert p.task == "push_pull" and p._pocket_stage == 0
+
+    # box stalled with the robot ADJACENT (vetoed-pull freeze): stall latch
+    box = np.array([-3.4, -1.6])
+    robot = np.array([-3.65, -2.04])
+    for _ in range(p._STALL_CALLS + 1):
+        p.update_plan({"box_pos": box, "robot_pos": robot})
+    assert p.task == "reposition" and p._pocket_stage == 1
+    # standoff goal sits past the box on the box->goal ray, away from goal
+    assert np.linalg.norm(p.curr_goal[:2] - box) <= p._STANDOFF + 1e-5
+    assert np.linalg.norm(p.curr_goal[:2] - np.array(cfg.goal)) > np.linalg.norm(
+        box - np.array(cfg.goal)
+    )
+
+    # robot reaches the standoff -> push at the base goal
+    p.update_plan({"box_pos": box, "robot_pos": p.curr_goal[:2].copy()})
+    assert p.task == "push" and p._pocket_stage == 2
+    assert np.allclose(p.curr_goal[:2], cfg.goal)
+
+    # push stalls -> bounded re-latch back to reposition
+    for _ in range(p._STALL_CALLS + 1):
+        p.update_plan({"box_pos": box, "robot_pos": robot})
+    assert p.task == "reposition" and p._pocket_stage == 1
+    assert p._relatch_left == 4
+
+    # reset restores the base plan and stall state
+    p.reset_plan()
+    assert p.task == "push_pull" and p._pocket_stage == 0
+    assert p._relatch_left == 5 and p._stall_n == 0
+
+    # proximity latch fires without any stall
+    p.update_plan(
+        {"box_pos": np.array([-3.0, -3.0]), "robot_pos": np.array([0.0, 0.0])}
+    )
+    assert p.task == "reposition" and p._pocket_stage == 1
+
+
+def test_aif_panda_zup_gate_stall_and_release():
+    """Host wedge-gate mirror: flips on after ZUP_STALL_TICKS attached
+    ticks with no new best progress, stays off for unattached stalls, and
+    releases after ZUP_RELEASE_M of recovery progress."""
+    from m3p2i_aip_tpu.planners.task_planner.task_planner import (
+        ZUP_RELEASE_M,
+        ZUP_STALL_TICKS,
+    )
+
+    cfg = _Cfg()
+    cfg.env_type = "panda_env"
+    p = set_task_planner(cfg)
+    goal = np.array([0.5, 0.3, 1.06, 0, 0, 0, 1], dtype=np.float32)
+    cube = np.array([0.2, -0.2, 1.2, 0, 0, 0, 1], dtype=np.float32)
+    ee_close = cube.copy()
+    ee_close[2] += 0.03  # trips the pick threshold
+
+    def tick(att):
+        p.update_plan(
+            {
+                "cube_state": cube,
+                "cube_goal": goal,
+                "ee_state": ee_close,
+                "attached": att,
+            }
+        )
+
+    # unattached stall (missed grasp): gate must NOT fire
+    for _ in range(ZUP_STALL_TICKS + 5):
+        tick(0.0)
+    assert p.task == "pick" and p.zup_gate == 0.0
+
+    # attached stall: gate fires after the threshold
+    for _ in range(ZUP_STALL_TICKS):
+        tick(1.0)
+    assert p.zup_gate == 1.0
+
+    # recovery progress past the latch distance releases it
+    cube[:3] = cube[:3] + (goal[:3] - cube[:3]) * (
+        (ZUP_RELEASE_M + 0.02)
+        / np.linalg.norm(goal[:3] - cube[:3])
+    )
+    tick(1.0)
+    assert p.zup_gate == 0.0
