@@ -630,8 +630,9 @@ def _panda_kernel(
         d_ec = [ee[i] - cAp[i] for i in range(3)]
         regrasp = 10.0 * _norm3(d_ec) * (1.0 - att)
         # z-up clearance shaping (cost_functions._zup_clearance parity):
-        # height deficit of the held cube wedged BESIDE a static (overlapping
-        # its expanded footprint with its bottom below that static's top)
+        # height deficit of the held cube wedged beside a static OR dragging
+        # on its surface (bottom below top + 2 cm band; live only while the
+        # stall gate is on)
         hA = half[1]
         zup = jnp.zeros((1, Kp), jnp.float32)
         for s in range(S):
@@ -639,8 +640,8 @@ def _panda_kernel(
                 (cAp[0] > stat_lo[s][0] - hA[0]) & (cAp[0] < stat_hi[s][0] + hA[0])
                 & (cAp[1] > stat_lo[s][1] - hA[1]) & (cAp[1] < stat_hi[s][1] + hA[1])
             )
-            wedged = (cAp[2] - hA[2] + 0.005) < stat_hi[s][2]
-            needed = jnp.maximum(stat_hi[s][2] + hA[2] + 0.01 - cAp[2], 0.0)
+            wedged = (cAp[2] - hA[2] - 0.02) < stat_hi[s][2]
+            needed = jnp.maximum(stat_hi[s][2] + hA[2] + 0.02 - cAp[2], 0.0)
             zup = jnp.maximum(zup, jnp.where(overlap & wedged, needed, 0.0))
         # wedge gate (see cost_functions._pick): traced task data from the
         # symbolic layer's goal-progress stall detector — a per-state

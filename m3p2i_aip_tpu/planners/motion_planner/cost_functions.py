@@ -307,8 +307,14 @@ class PandaObjective:
         sampled nudge still touches, so the binarized motion cost gives no
         gradient and ~1 shelf seed in 20 stalls there.  When the cube
         horizontally overlaps a static's (expanded) footprint while its
-        BOTTOM is below that static's top — i.e. wedged beside it, never
-        when resting ON it — prefer height until it clears."""
+        bottom is below that static's top + 2 cm — wedged beside it OR
+        dragging ON its surface (a cube stuck resting on the shelf pays the
+        x4 shelf contact cost on every lateral slide sample; measured: seed
+        103 parked at 4 mm resting penetration with the stall gate on and
+        nothing shaping the lift) — prefer height until it clears.  The
+        2 cm band cannot reshape normal descents: the term is live only
+        while the stall gate is on, and a carried cube rides >= 3 cm above
+        the support top (pre-place height) outside genuine stalls."""
         cube = state.body_pos[self.cubeA_slot]
         half = self.params.body_half[self.cubeA_slot]
         lo = self.params.stat_min  # [S, 3]
@@ -319,8 +325,8 @@ class PandaObjective:
             & (cube[1] > lo[:, 1] - half[1])
             & (cube[1] < hi[:, 1] + half[1])
         )
-        wedged = (cube[2] - half[2] + 0.005) < hi[:, 2]
-        needed = jnp.maximum(hi[:, 2] + half[2] + 0.01 - cube[2], 0.0)
+        wedged = (cube[2] - half[2] - 0.02) < hi[:, 2]
+        needed = jnp.maximum(hi[:, 2] + half[2] + 0.02 - cube[2], 0.0)
         return jnp.max(jnp.where(overlap & wedged, needed, 0.0))
 
     def _place(self, state):

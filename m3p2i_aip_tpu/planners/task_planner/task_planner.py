@@ -85,10 +85,14 @@ class PLANNER_SIMPLE:
     _STALL_CALLS = 15  # update_plan calls (ticks, or chunks when chunked)
 
     def configure_pocket_endgame(self, pocket_lim: float) -> None:
-        """Arm the staged endgame (called for diff-drive bases only) with
-        the arena pocket limit: goals beyond ``pocket_lim`` from the center
-        sit in a wall pocket the robot cannot stand in."""
-        if self._base_task in ("push_pull", "hybrid"):
+        """Arm the staged plan (called for diff-drive bases only) with the
+        arena pocket limit: goals beyond ``pocket_lim`` from the center sit
+        in a wall pocket the robot cannot stand in.  Armed for push_pull
+        (the pocket endgame proper) AND pure push — the nonholonomic base
+        parks beside the box it should circle behind (the repositioning arc
+        exceeds the lookahead; measured 1/20 without staging), and the same
+        stall -> reposition -> push cycle breaks that fixed point."""
+        if self._base_task in ("push", "push_pull", "hybrid"):
             self._pocket_lim = pocket_lim
 
     def _box_stalled(self, box, robot) -> bool:
@@ -116,16 +120,21 @@ class PLANNER_SIMPLE:
         self._stall_n = 0
 
     def update_plan(self, view) -> None:
-        if (
-            self._pocket_lim is None
-            or np.max(np.abs(self._base_goal[:2])) <= self._pocket_lim
-        ):
+        if self._pocket_lim is None:
             return
+        # The proximity latch pre-empts only POCKET pulls (goals inside a
+        # zero-clearance wall pocket); the stall latch is always armed —
+        # a box that stopped moving with the robot beside it means the
+        # contact task is wedged regardless of where the goal is
+        pocket_goal = (
+            self._base_task in ("push_pull", "hybrid")
+            and np.max(np.abs(self._base_goal[:2])) > self._pocket_lim
+        )
         box = np.asarray(view["box_pos"], dtype=np.float32)[:2]
         robot = np.asarray(view["robot_pos"], dtype=np.float32)[:2]
         stalled = self._box_stalled(box, robot)
         if self._pocket_stage == 0:
-            near = (
+            near = pocket_goal and (
                 np.linalg.norm(box - self._base_goal[:2])
                 < self._POCKET_LATCH_R
             )

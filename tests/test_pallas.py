@@ -8,12 +8,23 @@ Two tiers:
   (single-sources the dual-maintenance risk: the wall-crush penalty once had
   to be patched in two places, commit 393c90a).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from m3p2i_aip_tpu.ops.pallas_kernels import pallas_available
+
+# The interpret-mode goldens are CPU gates: under M3P2I_TEST_TPU the XLA
+# reference paths run with MXU rounding the interpreted kernels don't share
+# (measured 0.06 cost drift on the pick case), and the dedicated on-device
+# parity tests already cover the TPU backend at 4e-6.
+_skip_on_tpu = pytest.mark.skipif(
+    os.environ.get("M3P2I_TEST_TPU", "") == "1",
+    reason="interpret-mode parity is the CPU gate; TPU has dedicated tests",
+)
 
 
 @pytest.mark.skipif(not pallas_available(), reason="needs a TPU backend")
@@ -101,6 +112,7 @@ def _build_tamp(K=32, T=12, config_name="config_point"):
     return cfg, ReactiveTAMP(cfg)
 
 
+@_skip_on_tpu
 def test_multimodal_weights_interpret_matches_jax_cpu():
     from m3p2i_aip_tpu.ops.pallas_kernels import multimodal_weights_pallas
 
@@ -119,6 +131,7 @@ def test_multimodal_weights_interpret_matches_jax_cpu():
         assert abs(float(jnp.sum(g)) - 1.0) < 1e-5
 
 
+@_skip_on_tpu
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "config_name", ["config_point", "config_heijn", "config_boxer"]
@@ -238,6 +251,7 @@ def test_fused_rollout_interpret_matches_xla_cpu(config_name):
 
 
 @pytest.mark.slow
+@_skip_on_tpu
 def test_panda_rollout_interpret_matches_xla_cpu():
     """Panda kernel-vs-XLA rollout parity on CPU (interpret mode).
 
