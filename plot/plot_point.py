@@ -13,7 +13,12 @@ import glob
 import os
 import sys
 
+import jax
 import numpy as np
+
+# offline analysis: never attach to the (possibly busy) TPU tunnel for the
+# few tiny orientation-cost ops this needs
+jax.config.update("jax_platforms", "cpu")
 
 from m3p2i_aip_tpu.analysis import point_costs, summarize
 from m3p2i_aip_tpu.analysis.stats import box_plot
