@@ -433,3 +433,48 @@ def test_boxer_pull_reaches_goal():
             done = i
             break
     assert done is not None, f"boxer pull failed; box at {loop.log.box_pos[-1]}"
+
+
+def test_zup_stall_detector_host_device_twins():
+    """The on-device stall detector (ReactiveTAMP._zup_update) and the host
+    mirror (PLANNER_AIF_PANDA._zup_update) must emit the SAME gate sequence
+    on a synthetic wedge episode: approach (progress), wedge (stall ->
+    latch), climb-out (d increases, gate holds), recovery (release).  The
+    full-episode equivalence test only exercises all-zero gates on a clean
+    table pick; this drives every transition."""
+    import jax.numpy as jnp
+
+    from m3p2i_aip_tpu.planners.task_planner.task_planner import (
+        ZUP_STALL_TICKS,
+    )
+
+    cfg = load_config("config_panda", ["mppi.num_samples=64"])
+    loop = SimLoop(cfg)
+    tamp = loop.tamp
+    host = tamp.task_planner  # PLANNER_AIF_PANDA
+    host._zup_reset()
+
+    # synthetic (d, in_pick, att) tick sequence
+    seq = (
+        [(0.5 - 0.01 * k, True, 1.0) for k in range(10)]     # approach
+        + [(0.41, True, 1.0)] * (ZUP_STALL_TICKS + 3)        # wedge: latch
+        + [(0.44, True, 1.0)] * 10                           # climb: holds
+        + [(0.41 - 0.006 * k, True, 1.0) for k in range(12)] # recover
+        + [(0.2, False, 0.0)] * 3                            # leave pick
+    )
+    zs = tamp.zup_zs0()
+    dev_gates, host_gates = [], []
+    for d, in_pick, att in seq:
+        zs = tamp._zup_update(
+            zs, jnp.asarray(d, jnp.float32), jnp.asarray(in_pick), jnp.asarray(att)
+        )
+        dev_gates.append(float(zs[2]))
+        host._zup_update(d, in_pick, att)
+        host_gates.append(host.zup_gate)
+    assert dev_gates == host_gates, list(zip(dev_gates, host_gates))
+    # the episode actually latched and released
+    assert max(dev_gates) == 1.0
+    assert dev_gates[-1] == 0.0
+    # climb-out (d above the latch distance) did NOT release the gate
+    climb_idx = 10 + ZUP_STALL_TICKS + 3 + 5
+    assert dev_gates[climb_idx] == 1.0
