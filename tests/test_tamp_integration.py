@@ -87,6 +87,26 @@ def test_boxer_navigation():
 
 
 @pytest.mark.slow
+def test_boxer_staged_pure_push():
+    """Pure push on the diff-drive base: the nonholonomic robot parks beside
+    the box (fixed point, 1/20 without staging); the stall latch must fire,
+    reposition behind the box, and the push must then reach the goal."""
+    cfg = load_config(
+        "config_boxer", ["task=push", "goal=[-1,-1]", "mppi.num_samples=128"]
+    )
+    loop = SimLoop(cfg)
+    loop.warmup(10)
+    done = None
+    for i in range(900):
+        if loop.tick(i):
+            done = i
+            break
+    tpl = loop.tamp.task_planner
+    assert tpl._pocket_stage == 2, "the staged repositioning never engaged"
+    assert done is not None, f"boxer push failed; box at {loop.log.box_pos[-1]}"
+
+
+@pytest.mark.slow
 def test_panda_pick_place_sequence():
     """Full AIP-driven reach -> pick (grasp) -> place on the panda env.
 
