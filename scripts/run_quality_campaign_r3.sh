@@ -24,12 +24,11 @@ python scripts/run_experiments.py -cn config_heijn task=push_pull \
     multi_modal=True goal="[-3.75,-3.75]" n_runs=20 chunked=10 \
     out=plot/point/heijn_corner_hybrid.npy
 
-# boxer family (VERDICT #5).  Pure push on the nonholonomic base needs the
-# longer lookahead and unfiltered wheel sequences (the SG filter smears the
-# sharp arcs repositioning requires); partial success expected — published
-# honestly with the spin-in-place diagnosis (RESULTS.md)
+# boxer family (VERDICT #5).  Pure push on the nonholonomic base runs at
+# DEFAULT config: the staged pocket endgame (task_planner.py) latches
+# reposition->push when the base parks beside the box, which is what makes
+# pure push viable on a diff drive (1/20 without staging)
 python scripts/run_experiments.py -cn config_boxer task=push goal="[-1,-1]" \
-    mppi.filter_u=False mppi.horizon=30 mppi.lambda_=0.3 \
     n_runs=20 chunked=10 out=plot/point/boxer_push.npy
 python scripts/run_experiments.py -cn config_boxer task=pull goal="[0,0]" \
     n_runs=20 chunked=10 out=plot/point/boxer_pull.npy

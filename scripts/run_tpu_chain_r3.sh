@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-3 final TPU measurement chain. ONE TPU client at a time: steps run
+# strictly sequentially, each under timeout, and the chain aborts the moment
+# a health probe fails (a wedged axon tunnel hangs every subsequent dispatch
+# for ~30-60 min — continuing just deepens the wedge).
+# Logs land in /tmp/tpu_chain/; artifacts in plot/ + /tmp/tpu_chain/bench*.json.
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/tpu_chain
+mkdir -p $OUT
+
+probe() {
+    timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+print('probe ok', (x @ x).sum())
+" >> $OUT/probe.log 2>&1
+}
+
+step() {  # step <name> <timeout_s> <cmd...>
+    local name=$1 tmo=$2; shift 2
+    echo "=== $name $(date -u +%H:%M:%S) ===" | tee -a $OUT/chain.log
+    timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+    local rc=$?
+    echo "=== $name rc=$rc ===" | tee -a $OUT/chain.log
+    if ! probe; then
+        echo "ABORT: tunnel wedged after $name" | tee -a $OUT/chain.log
+        exit 1
+    fi
+    return $rc
+}
+
+probe || { echo "ABORT: tunnel down at start" | tee -a $OUT/chain.log; exit 1; }
+
+# 1. headline bench (fast, confirms the 2162 Hz figure at HEAD)
+step bench 900 python bench.py
+
+# 2. boxer staged pure push, n=20, default config (staged pocket endgame)
+step boxer_push 5400 python scripts/run_experiments.py -cn config_boxer \
+    task=push goal="[-1,-1]" n_runs=20 chunked=10 \
+    out=plot/point/boxer_push.npy
+
+# 3. albert ee_reach, n=20 (exploration_noise=0.15 default, seed-16 fix)
+step albert 5400 python scripts/run_experiments.py -cn config_albert \
+    n_runs=20 out=plot/albert/ee_reach.npy
+
+# 4. north-star workload with the packed kernel
+step northstar 1200 python scripts/bench_northstar.py 500 30
+
+echo "CHAIN COMPLETE $(date -u +%H:%M:%S)" | tee -a $OUT/chain.log
