@@ -15,6 +15,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Hz", "vs_baseline": N}
 """
 import json
+import os
+import sys
 import time
 
 BASELINE_HZ = 21.2  # best reference scenario mean (plot/point/*.npy col 16)
@@ -45,16 +47,26 @@ def main() -> None:
     # boundary costs ~40 ms through the remote tunnel (host view unpack + one
     # round trip), so chunk size sets the measured rate's ceiling.  Every
     # tick remains a FULL K-rollout replan + real-env step.
+    # --pipelined: double-buffered chunks (SimLoop._run_chunked_pipelined)
+    # hide the chunk-boundary tunnel round trip behind on-device compute;
+    # tick math is identical (tests/test_tamp_integration.py equivalence).
+    pipelined = "--pipelined" in sys.argv or os.environ.get(
+        "M3P2I_BENCH_PIPELINED"
+    ) == "1"
     chunk = 200
     for _ in range(2):  # compile + settle (2nd round catches signature drift)
         loop.run_chunked(chunk, chunk=chunk)
 
     n = 800
     t0 = time.perf_counter()
-    done = 0
-    while done < n:
-        loop.run_chunked(chunk, chunk=chunk)
-        done += chunk
+    if pipelined:
+        loop.run_chunked(n, chunk=chunk, pipelined=True)
+        done = n
+    else:
+        done = 0
+        while done < n:
+            loop.run_chunked(chunk, chunk=chunk)
+            done += chunk
     dt = time.perf_counter() - t0
 
     hz = done / dt

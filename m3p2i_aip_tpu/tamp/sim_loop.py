@@ -261,18 +261,31 @@ class SimLoop:
             )
         self._view = self.env.view(self.state)
 
-    def run_chunked(self, n_steps: int, chunk: int = 10) -> TickLog:
+    def run_chunked(
+        self, n_steps: int, chunk: int = 10, pipelined: bool = False
+    ) -> TickLog:
         """Chunked execution: ``chunk`` full replan+step ticks per dispatch.
 
         Amortizes dispatch latency via lax.scan (ReactiveTAMP.run_chunk).
         Exact for fixed-plan tasks (point env PLANNER_SIMPLE); the symbolic
         plan is refreshed between chunks, so a task switch is delayed by at
         most ``chunk - 1`` ticks.
+
+        ``pipelined=True`` double-buffers chunks: chunk N+1 is dispatched
+        (as a chain of device futures) BEFORE chunk N's views are fetched,
+        so the host<->device round trip (~30 ms through the remote TPU
+        tunnel) overlaps on-device compute instead of serializing with it.
+        The symbolic plan then reacts with one extra chunk of delay (at
+        most ``2*chunk - 1`` ticks); the on-device success gate still
+        freezes the state at the latch tick, so a chunk dispatched past
+        success is a no-op on the final state.
         """
         if self._view is None:
             self.warmup(0)
         if self.env.env_type == "panda_env":
             return self._run_chunked_panda(n_steps, chunk)
+        if pipelined:
+            return self._run_chunked_pipelined(n_steps, chunk)
         i = 0
         while i < n_steps:
             t0 = time.perf_counter()
@@ -288,27 +301,79 @@ class SimLoop:
             views, n_ticks, dev_done = jax.device_get((views, n_ticks, dev_done))
             t1 = time.perf_counter()
             self.tamp.mppi_state, self.state = ms, rs
-            n_ticks = int(n_ticks)  # the on-device gate stops mid-chunk
-            per = (t1 - t0) / max(n_ticks, 1)
-            done_at = None
-            for k in range(n_ticks):
-                self._view = self.env.view_unpack(views[k])
-                self.tamp.task_success = self.tamp.task_planner.check_task_success(
-                    self._view
-                )
-                self._record(i + k, self._view, per, 0.0)
-                if self.tamp.task_success:
-                    done_at = i + k
-                    break  # stop at the success tick so _view/log match it
-            if done_at is None and bool(dev_done):
-                # device gate latched but the host check disagreed at the
-                # float boundary: trust the device (its state is frozen there)
-                self.tamp.task_success = True
-                done_at = i + n_ticks - 1
-                self.log.success_step = done_at
+            done_at = self._drain_chunk(
+                i, views, int(n_ticks), bool(dev_done), t1 - t0
+            )
             if done_at is not None:
                 break
             i += chunk
+        return self.log
+
+    def _drain_chunk(
+        self, i: int, views, n_ticks: int, dev_done: bool, elapsed: float
+    ) -> Optional[int]:
+        """Host-side processing of one fetched chunk: unpack views, run the
+        host success check per tick, record log rows.  Returns the success
+        tick index, or None."""
+        per = elapsed / max(n_ticks, 1)
+        done_at = None
+        for k in range(n_ticks):
+            self._view = self.env.view_unpack(views[k])
+            self.tamp.task_success = self.tamp.task_planner.check_task_success(
+                self._view
+            )
+            self._record(i + k, self._view, per, 0.0)
+            if self.tamp.task_success:
+                done_at = i + k
+                break  # stop at the success tick so _view/log match it
+        if done_at is None and dev_done:
+            # device gate latched but the host check disagreed at the
+            # float boundary: trust the device (its state is frozen there)
+            self.tamp.task_success = True
+            done_at = i + n_ticks - 1
+            self.log.success_step = done_at
+        return done_at
+
+    def _run_chunked_pipelined(self, n_steps: int, chunk: int) -> TickLog:
+        """Double-buffered chunk execution (see run_chunked docstring).
+
+        The loop keeps exactly one chunk in flight: dispatch N+1 from the
+        device-future carry of N, then fetch and drain N while N+1 computes.
+        When the host detects success in chunk N, the in-flight chunk N+1 is
+        discarded unfetched (its carry was already committed, but the
+        on-device gate froze the state at the latch, so the final state is
+        the success state).
+        """
+        pending = None  # (i0, views, n_ticks, dev_done, t_dispatched)
+        i = 0
+        while True:
+            nxt = None
+            if i < n_steps and not self.tamp.task_success:
+                task_params = self.tamp.tamp_interface_view(self._view)
+                ms, rs, views, n_ticks, dev_done = self.tamp.run_chunk(
+                    self.tamp.mppi_state, self.state, task_params, i, chunk
+                )
+                # carry stays on device as futures; chunk N+1 chains on it
+                self.tamp.mppi_state, self.state = ms, rs
+                nxt = (i, views, n_ticks, dev_done, time.perf_counter())
+                i += chunk
+            if pending is not None:
+                i0, views, n_ticks, dev_done, t0 = pending
+                views, n_ticks, dev_done = jax.device_get(
+                    (views, n_ticks, dev_done)
+                )
+                t1 = time.perf_counter()
+                done_at = self._drain_chunk(
+                    i0, views, int(n_ticks), bool(dev_done), t1 - t0
+                )
+                if done_at is not None:
+                    break
+            if nxt is None:
+                if pending is None:
+                    break
+                pending = None
+            else:
+                pending = nxt
         return self.log
 
     def _run_chunked_panda(self, n_steps: int, chunk: int) -> TickLog:

@@ -35,6 +35,9 @@ probe || { echo "ABORT: tunnel down at start" | tee -a $OUT/chain.log; exit 1; }
 # 1. headline bench (fast, confirms the 2162 Hz figure at HEAD)
 step bench 900 python bench.py
 
+# 1b. pipelined bench: double-buffered chunks hide the tunnel round trip
+step bench_pipelined 900 python bench.py --pipelined
+
 # 2. boxer staged pure push, n=20, default config (staged pocket endgame)
 step boxer_push 5400 python scripts/run_experiments.py -cn config_boxer \
     task=push goal="[-1,-1]" n_runs=20 chunked=10 \

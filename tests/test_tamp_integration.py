@@ -498,3 +498,33 @@ def test_zup_stall_detector_host_device_twins():
     # climb-out (d above the latch distance) did NOT release the gate
     climb_idx = 10 + ZUP_STALL_TICKS + 3 + 5
     assert dev_gates[climb_idx] == 1.0
+
+
+@pytest.mark.slow
+def test_point_chunked_pipelined_matches_serial():
+    """Double-buffered chunking (SimLoop._run_chunked_pipelined) must land
+    the same success tick and trajectory as the serial chunked path on a
+    fixed-plan task: with PLANNER_SIMPLE the task params are constant, so
+    hiding the fetch round trip behind the next chunk's compute must not
+    change a single tick's math."""
+    overrides = ["task=push", "goal=[-1,-1]", "mppi.num_samples=64"]
+
+    loop_a = SimLoop(load_config("config_point", overrides))
+    loop_a.warmup(10)
+    log_a = loop_a.run_chunked(300, chunk=10)
+    assert log_a.success_step is not None
+
+    loop_b = SimLoop(load_config("config_point", overrides))
+    loop_b.warmup(10)
+    log_b = loop_b.run_chunked(300, chunk=10, pipelined=True)
+    assert log_b.success_step == log_a.success_step, (
+        log_b.success_step,
+        log_a.success_step,
+    )
+    assert log_b.steps == log_a.steps
+    assert np.allclose(
+        np.asarray(log_a.robot_pos), np.asarray(log_b.robot_pos), atol=1e-6
+    )
+    assert np.allclose(
+        np.asarray(log_a.box_pos), np.asarray(log_b.box_pos), atol=1e-6
+    )
