@@ -53,7 +53,7 @@ def main() -> None:
     pipelined = "--pipelined" in sys.argv or os.environ.get(
         "M3P2I_BENCH_PIPELINED"
     ) == "1"
-    chunk = 200
+    chunk = int(os.environ.get("M3P2I_BENCH_CHUNK", "200"))
     for _ in range(2):  # compile + settle (2nd round catches signature drift)
         loop.run_chunked(chunk, chunk=chunk)
 
