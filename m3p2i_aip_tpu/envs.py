@@ -50,6 +50,20 @@ def make_env(cfg) -> Env:
     242-267) — minus envs/viewer plumbing, which the functional design removes.
     """
     actors = load_env_cfgs(cfg.env_type)
+    # cfg.actors + cfg.initial_actor_positions override named actors' spawn
+    # poses — the reference declares exactly this pair in its ExampleConfig
+    # schema (config_store.py:17-18; never wired upstream).  It is how the
+    # paper's corner scenarios reposition the box (e.g. corner2: box STARTS
+    # in a corner), without forking the per-actor YAML scene.
+    for name, pos in zip(cfg.actors, cfg.initial_actor_positions):
+        hits = [a for a in actors if a.name == name]
+        if not hits:
+            raise ValueError(
+                f"initial_actor_positions: no actor named {name!r} in "
+                f"{cfg.env_type}"
+            )
+        p = list(map(float, pos))
+        hits[0].init_pos = p + hits[0].init_pos[len(p):]
     if cfg.env_type in ("point_env", "heijn_env", "boxer_env"):
         return _make_point_env(cfg, actors)
     if cfg.env_type == "panda_env":

@@ -75,6 +75,7 @@ class PLANNER_SIMPLE:
         self._base_task = cfg.task
         self._base_goal = self.curr_goal.copy()
         self._pocket_lim: Optional[float] = None
+        self._prox_latch = True
         self._pocket_stage = 0
         self._stall_prev: Optional[np.ndarray] = None
         self._stall_n = 0
@@ -84,16 +85,27 @@ class PLANNER_SIMPLE:
     _STANDOFF = 0.75  # m behind the box center (robot r 0.3 + box half 0.2)
     _STALL_CALLS = 15  # update_plan calls (ticks, or chunks when chunked)
 
-    def configure_pocket_endgame(self, pocket_lim: float) -> None:
-        """Arm the staged plan (called for diff-drive bases only) with the
-        arena pocket limit: goals beyond ``pocket_lim`` from the center sit
-        in a wall pocket the robot cannot stand in.  Armed for push_pull
-        (the pocket endgame proper) AND pure push — the nonholonomic base
-        parks beside the box it should circle behind (the repositioning arc
-        exceeds the lookahead; measured 1/20 without staging), and the same
-        stall -> reposition -> push cycle breaks that fixed point."""
+    def configure_pocket_endgame(
+        self, pocket_lim: float, proximity_latch: bool = True
+    ) -> None:
+        """Arm the staged plan with the arena pocket limit: goals beyond
+        ``pocket_lim`` from the center sit in a wall pocket the robot cannot
+        stand in.  Armed for push_pull (the pocket endgame proper) AND pure
+        push — the nonholonomic base parks beside the box it should circle
+        behind (the repositioning arc exceeds the lookahead; measured 1/20
+        without staging), and the same stall -> reposition -> push cycle
+        breaks that fixed point.
+
+        ``proximity_latch=False`` (holonomic bases) arms ONLY the stall
+        latch: a holonomic robot finishes pocket goals through rollout
+        arbitration alone (corner1 hybrid 20/20 without staging), but a
+        two-corner drag (box STARTS in a corner — the reference's corner2
+        scenario) can back the puller into the goal pocket where the
+        boundary-crush veto freezes it 0.3 m short; the stall latch
+        detects exactly that freeze and repositions for the final push."""
         if self._base_task in ("push", "push_pull", "hybrid"):
             self._pocket_lim = pocket_lim
+            self._prox_latch = proximity_latch
 
     def _box_stalled(self, box, robot) -> bool:
         """True after _STALL_CALLS consecutive calls with the box unmoving
@@ -114,8 +126,13 @@ class PLANNER_SIMPLE:
     def _latch_reposition(self, box) -> None:
         away = box - self._base_goal[:2]
         away = away / max(float(np.linalg.norm(away)), 1e-6)
+        standoff = box + self._STANDOFF * away
+        # keep the standoff reachable: a corner-start box puts the naive
+        # behind-the-box pose outside the arena walls
+        if self._pocket_lim is not None:
+            standoff = np.clip(standoff, -self._pocket_lim, self._pocket_lim)
         self.task = "reposition"
-        self.curr_goal = (box + self._STANDOFF * away).astype(np.float32)
+        self.curr_goal = standoff.astype(np.float32)
         self._pocket_stage = 1
         self._stall_n = 0
 
@@ -127,7 +144,8 @@ class PLANNER_SIMPLE:
         # a box that stopped moving with the robot beside it means the
         # contact task is wedged regardless of where the goal is
         pocket_goal = (
-            self._base_task in ("push_pull", "hybrid")
+            self._prox_latch
+            and self._base_task in ("push_pull", "hybrid")
             and np.max(np.abs(self._base_goal[:2])) > self._pocket_lim
         )
         box = np.asarray(view["box_pos"], dtype=np.float32)[:2]

@@ -72,17 +72,20 @@ class ReactiveTAMP:
         self.task_success = False
         if (
             self.env.env_type == "point_env"
-            and self.env.params.robot_type == "boxer"
             and float(self.env.params.arena_bound) > 0.0
             and hasattr(self.task_planner, "configure_pocket_endgame")
         ):
-            # diff-drive pocket-endgame latch (see PLANNER_SIMPLE): same
-            # pocket geometry the pull cost's veto uses
+            # pocket-endgame latches (see PLANNER_SIMPLE): same pocket
+            # geometry the pull cost's veto uses.  Diff drive arms both
+            # latches; holonomic bases arm only the stall latch (their
+            # rollout arbitration finishes pocket goals unstaged — the
+            # latch exists for the two-corner vetoed-pull freeze)
             p = self.env.params
             self.task_planner.configure_pocket_endgame(
                 float(p.arena_bound)
                 - 2.0 * float(p.robot_radius)
-                - float(p.dyn_half[self.objective.box_dyn_slot, 0])
+                - float(p.dyn_half[self.objective.box_dyn_slot, 0]),
+                proximity_latch=(p.robot_type == "boxer"),
             )
 
         self.motion_planner = M3P2I(

@@ -43,6 +43,25 @@ step boxer_push 5400 python scripts/run_experiments.py -cn config_boxer \
     task=push goal="[-1,-1]" n_runs=20 chunked=10 \
     out=plot/point/boxer_push.npy
 
+# 2b. the reference's TWO-corner scenario (box starts in the NE corner, goal
+# in the SW pocket; BASELINE.md: hybrid 9.95±3.46 s, push fails, pull 32.9 s).
+# chunked=4 keeps the stall latch's detection latency at 3 s sim time.
+C2='actors=["box"]'
+step corner2_hybrid 5400 python scripts/run_experiments.py task=push_pull \
+    multi_modal=True goal="[-3.75,-3.75]" "$C2" \
+    initial_actor_positions="[[3.75,3.75]]" n_runs=20 chunked=4 \
+    out=plot/point/corner2_hybrid.npy
+step corner2_hybrid_b 5400 python scripts/run_experiments.py task=push_pull \
+    multi_modal=True goal="[-3.75,-3.75]" "$C2" \
+    initial_actor_positions="[[3.75,3.75]]" n_runs=20 chunked=4 \
+    seed_offset=100 out=plot/point/corner2_hybrid_b.npy
+step corner2_pull 5400 python scripts/run_experiments.py task=pull \
+    goal="[-3.75,-3.75]" "$C2" initial_actor_positions="[[3.75,3.75]]" \
+    n_runs=20 chunked=10 out=plot/point/corner2_pull.npy
+step corner2_push 7200 python scripts/run_experiments.py task=push \
+    goal="[-3.75,-3.75]" "$C2" initial_actor_positions="[[3.75,3.75]]" \
+    n_runs=20 chunked=10 out=plot/point/corner2_push.npy
+
 # 3. albert ee_reach, n=20 (exploration_noise=0.15 default, seed-16 fix)
 step albert 5400 python scripts/run_experiments.py -cn config_albert \
     n_runs=20 out=plot/albert/ee_reach.npy

@@ -528,3 +528,37 @@ def test_point_chunked_pipelined_matches_serial():
     assert np.allclose(
         np.asarray(log_a.box_pos), np.asarray(log_b.box_pos), atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_point_two_corner_hybrid():
+    """The reference's corner2 scenario: the box STARTS in a corner (pushing
+    out of a corner is impossible, README.md:96) and the goal sits in the
+    diagonally opposite pocket.  The pull mode must extract and drag the box
+    across the arena; the drag backs the robot into the goal pocket where
+    the boundary-crush veto freezes the pull ~0.33 m short (measured), and
+    the stall latch must then reposition for the final push.  Reference
+    envelope: hybrid 9.95±3.46 s vs push 36.4 s (fails) / pull 32.9 s
+    (BASELINE.md two-corner row)."""
+    cfg = load_config(
+        "config_point",
+        [
+            "task=push_pull",
+            "multi_modal=True",
+            "goal=[-3.75,-3.75]",
+            'actors=["box"]',
+            "initial_actor_positions=[[3.75,3.75]]",
+            "mppi.num_samples=128",
+        ],
+    )
+    loop = SimLoop(cfg)
+    loop.warmup(10)
+    log = loop.run_chunked(1000, chunk=4)
+    assert log.success_step is not None, (
+        f"two-corner hybrid failed; box at {log.box_pos[-1]}"
+    )
+    # NOTE: whether the stall latch fires is seed/K dependent (at K=200 the
+    # drag backs the robot into the pocket and freezes — 0/2 without the
+    # latch, 2/2 with; at CI's K=128 some seeds finish unstaged).  The latch
+    # MECHANICS are covered by test_task_planner's staged-latch tests; this
+    # test pins the scenario outcome.

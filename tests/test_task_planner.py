@@ -141,8 +141,12 @@ def test_pocket_endgame_staged_latches():
     for _ in range(p._STALL_CALLS + 1):
         p.update_plan({"box_pos": box, "robot_pos": robot})
     assert p.task == "reposition" and p._pocket_stage == 1
-    # standoff goal sits past the box on the box->goal ray, away from goal
-    assert np.linalg.norm(p.curr_goal[:2] - box) <= p._STANDOFF + 1e-5
+    # standoff goal sits past the box on the box->goal ray, away from the
+    # goal, clamped into the reachable arena (pocket_lim)
+    assert np.all(np.abs(p.curr_goal[:2]) <= 3.15 + 1e-5)
+    away = p.curr_goal[:2] - box
+    to_goal = np.array(cfg.goal) - box
+    assert float(np.dot(away, to_goal)) < 0.0
     assert np.linalg.norm(p.curr_goal[:2] - np.array(cfg.goal)) > np.linalg.norm(
         box - np.array(cfg.goal)
     )
@@ -214,3 +218,32 @@ def test_aif_panda_zup_gate_stall_and_release():
     )
     tick(1.0)
     assert p.zup_gate == 0.0
+
+
+def test_pocket_endgame_holonomic_stall_only():
+    """Holonomic arming (proximity_latch=False, the point/heijn corner2
+    path): the proximity latch must NOT fire when the box nears the pocket
+    goal, but the vetoed-pull stall latch must."""
+    cfg = _Cfg()
+    cfg.task = "push_pull"
+    cfg.goal = [-3.75, -3.75]
+    p = set_task_planner(cfg)
+    p.configure_pocket_endgame(3.15, proximity_latch=False)
+
+    # box MOVING just outside the pocket radius: no proximity latch
+    robot = np.array([-2.0, -2.0])
+    for k in range(40):
+        view = {
+            "box_pos": np.array([-3.0 - 0.005 * k, -3.0 - 0.005 * k]),
+            "robot_pos": robot,
+        }
+        p.update_plan(view)
+    assert p.task == "push_pull" and p._pocket_stage == 0
+
+    # box stalled with the robot adjacent: stall latch still armed
+    box = np.array([-3.44, -3.62])
+    robot = np.array([-3.75, -3.75])
+    for _ in range(p._STALL_CALLS + 1):
+        p.update_plan({"box_pos": box, "robot_pos": robot})
+    assert p.task == "reposition" and p._pocket_stage == 1
+    assert np.all(np.abs(p.curr_goal[:2]) <= 3.15 + 1e-5)
