@@ -43,6 +43,13 @@ step boxer_push 5400 python scripts/run_experiments.py -cn config_boxer \
     task=push goal="[-1,-1]" n_runs=20 chunked=10 \
     out=plot/point/boxer_push.npy
 
+# 2a. corner1 push/pull singles at n=20 (reference: 6.21±6.81 / 25.10±13.80;
+# completes the corner1 trio next to the published hybrid batches)
+step corner1_push 5400 python scripts/run_experiments.py task=push \
+    goal="[-3.75,-3.75]" n_runs=20 chunked=10 out=plot/point/corner1_push.npy
+step corner1_pull 5400 python scripts/run_experiments.py task=pull \
+    goal="[-3.75,-3.75]" n_runs=20 chunked=10 out=plot/point/corner1_pull.npy
+
 # 2b. the reference's TWO-corner scenario (box starts in the NE corner, goal
 # in the SW pocket; BASELINE.md: hybrid 9.95±3.46 s, push fails, pull 32.9 s).
 # chunked=4 keeps the stall latch's detection latency at 3 s sim time.
