@@ -68,6 +68,10 @@ step corner2_pull 5400 python scripts/run_experiments.py task=pull \
 step corner2_push 7200 python scripts/run_experiments.py task=push \
     goal="[-3.75,-3.75]" "$C2" initial_actor_positions="[[3.75,3.75]]" \
     n_runs=20 chunked=10 out=plot/point/corner2_push.npy
+step heijn_corner2 5400 python scripts/run_experiments.py -cn config_heijn \
+    task=push_pull multi_modal=True goal="[-3.75,-3.75]" "$C2" \
+    initial_actor_positions="[[3.75,3.75]]" n_runs=20 chunked=4 \
+    out=plot/point/heijn_corner2_hybrid.npy
 
 # 3. albert ee_reach, n=20 (exploration_noise=0.15 default, seed-16 fix)
 step albert 5400 python scripts/run_experiments.py -cn config_albert \
