@@ -72,6 +72,10 @@ step heijn_corner2 5400 python scripts/run_experiments.py -cn config_heijn \
     task=push_pull multi_modal=True goal="[-3.75,-3.75]" "$C2" \
     initial_actor_positions="[[3.75,3.75]]" n_runs=20 chunked=4 \
     out=plot/point/heijn_corner2_hybrid.npy
+step boxer_corner2 7200 python scripts/run_experiments.py -cn config_boxer \
+    task=push_pull multi_modal=True goal="[-3.75,-3.75]" "$C2" \
+    initial_actor_positions="[[3.75,3.75]]" n_runs=20 chunked=4 \
+    out=plot/point/boxer_corner2_hybrid.npy
 
 # 3. albert ee_reach, n=20 (exploration_noise=0.15 default, seed-16 fix)
 step albert 5400 python scripts/run_experiments.py -cn config_albert \
