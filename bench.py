@@ -47,12 +47,14 @@ def main() -> None:
     # boundary costs ~40 ms through the remote tunnel (host view unpack + one
     # round trip), so chunk size sets the measured rate's ceiling.  Every
     # tick remains a FULL K-rollout replan + real-env step.
-    # --pipelined: double-buffered chunks (SimLoop._run_chunked_pipelined)
+    # Default mode: double-buffered chunks (SimLoop._run_chunked_pipelined)
     # hide the chunk-boundary tunnel round trip behind on-device compute;
     # tick math is identical (tests/test_tamp_integration.py equivalence).
-    pipelined = "--pipelined" in sys.argv or os.environ.get(
-        "M3P2I_BENCH_PIPELINED"
-    ) == "1"
+    # --serial / M3P2I_BENCH_SERIAL=1 measures the unpipelined round-trip
+    # mode instead (r3 on the v5e: 2888 Hz pipelined vs 2181 Hz serial).
+    pipelined = not (
+        "--serial" in sys.argv or os.environ.get("M3P2I_BENCH_SERIAL") == "1"
+    )
     chunk = int(os.environ.get("M3P2I_BENCH_CHUNK", "200"))
     for _ in range(2):  # compile + settle (2nd round catches signature drift)
         loop.run_chunked(chunk, chunk=chunk)
