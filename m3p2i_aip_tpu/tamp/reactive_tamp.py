@@ -55,6 +55,34 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def build_task_planner(cfg, env, objective):
+    """Construct the host-side symbolic planner for one seeded run.
+
+    Shared by ReactiveTAMP (one planner) and the vmapped multi-seed runner
+    (tamp/batch_loop.py, one planner PER SEED — the latches/stall detectors
+    are per-run mutable state).
+    """
+    tp = set_task_planner(cfg)
+    if (
+        env.env_type == "point_env"
+        and float(env.params.arena_bound) > 0.0
+        and hasattr(tp, "configure_pocket_endgame")
+    ):
+        # pocket-endgame latches (see PLANNER_SIMPLE): same pocket
+        # geometry the pull cost's veto uses.  Diff drive arms both
+        # latches; holonomic bases arm only the stall latch (their
+        # rollout arbitration finishes pocket goals unstaged — the
+        # latch exists for the two-corner vetoed-pull freeze)
+        p = env.params
+        tp.configure_pocket_endgame(
+            float(p.arena_bound)
+            - 2.0 * float(p.robot_radius)
+            - float(p.dyn_half[objective.box_dyn_slot, 0]),
+            proximity_latch=(p.robot_type == "boxer"),
+        )
+    return tp
+
+
 class ReactiveTAMP:
     def __init__(self, cfg, env: Optional[Env] = None) -> None:
         _enable_compilation_cache()
@@ -68,25 +96,8 @@ class ReactiveTAMP:
         else:
             self.objective = cost_functions.PandaObjective(self.env.params, cfg)
 
-        self.task_planner = set_task_planner(cfg)
+        self.task_planner = build_task_planner(cfg, self.env, self.objective)
         self.task_success = False
-        if (
-            self.env.env_type == "point_env"
-            and float(self.env.params.arena_bound) > 0.0
-            and hasattr(self.task_planner, "configure_pocket_endgame")
-        ):
-            # pocket-endgame latches (see PLANNER_SIMPLE): same pocket
-            # geometry the pull cost's veto uses.  Diff drive arms both
-            # latches; holonomic bases arm only the stall latch (their
-            # rollout arbitration finishes pocket goals unstaged — the
-            # latch exists for the two-corner vetoed-pull freeze)
-            p = self.env.params
-            self.task_planner.configure_pocket_endgame(
-                float(p.arena_bound)
-                - 2.0 * float(p.robot_radius)
-                - float(p.dyn_half[self.objective.box_dyn_slot, 0]),
-                proximity_latch=(p.robot_type == "boxer"),
-            )
 
         self.motion_planner = M3P2I(
             cfg,
@@ -303,7 +314,14 @@ class ReactiveTAMP:
         )
 
     def _run_chunk_impl(
-        self, mppi_state, real_state, task, i0, length: int, gate: bool = True
+        self,
+        mppi_state,
+        real_state,
+        task,
+        i0,
+        length: int,
+        gate: bool = True,
+        done0=None,
     ):
         """Up to ``length`` fused ticks in one dispatch, stopping the moment
         the success gate latches (lax.while_loop; VERDICT round-2 #7) so
@@ -314,6 +332,14 @@ class ReactiveTAMP:
         Valid while the symbolic plan is constant across the chunk (always
         true for PLANNER_SIMPLE's fixed task, SURVEY.md §1 L4a); the host
         checks the per-tick packed views afterwards.
+
+        ``done0`` (traced bool, gate mode only) pre-latches the gate: a
+        chunk entered already-done runs ZERO ticks and returns its state
+        unchanged.  This is what lets the vmapped multi-seed runner
+        (tamp/batch_loop.py) keep dispatching one batched program while
+        individual seeds finish at different ticks — jax masks the while
+        body per batch element, so a finished seed's state is frozen
+        exactly as if the host had stopped dispatching it.
         Returns (mppi_state, real_state, views [length, nv], n_ticks, done).
         """
         nv = self.env.view_vec(real_state).shape[0]
@@ -366,7 +392,7 @@ class ReactiveTAMP:
                 jnp.asarray(0, jnp.int32),
                 mppi_state,
                 real_state,
-                jnp.asarray(False),
+                jnp.asarray(False) if done0 is None else done0,
                 jnp.zeros((length, nv)),
             ),
         )

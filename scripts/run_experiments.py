@@ -34,6 +34,7 @@ def main(argv) -> None:
     chunked = 0
     reactive_perturb = 0.0
     seed_offset = 0
+    parallel_seeds = ""
     config_name = "config_point"
     passthrough = []
     it = iter(range(len(argv)))
@@ -42,6 +43,8 @@ def main(argv) -> None:
         a = argv[i]
         if a.startswith("n_runs="):
             n_runs = int(a.split("=", 1)[1])
+        elif a.startswith("parallel_seeds="):
+            parallel_seeds = a.split("=", 1)[1]
         elif a.startswith("chunked="):
             chunked = int(a.split("=", 1)[1])
         elif a.startswith("reactive_perturb="):
@@ -71,6 +74,55 @@ def main(argv) -> None:
         a.noise_percentage_friction or a.noise_sigma_size
         for a in load_env_cfgs(cfg.env_type)
     )
+
+    # parallel_seeds=True|shard: ALL seeds as ONE vmapped device program
+    # (BatchSimLoop) — one dispatch + one fetch per chunk boundary instead of
+    # n_runs of each; "shard" additionally lays the seed axis over every
+    # visible device.  Logs are tick-identical to the serial path at the
+    # same chunk (tests/test_batch_loop.py).
+    if parallel_seeds.lower() in ("true", "1", "shard"):
+        if is_panda or wants_domain_noise or reactive_perturb:
+            sys.exit(
+                "parallel_seeds covers the point/albert families without "
+                "domain noise or scripted perturbation (per-seed scene "
+                "rebuilds / mid-run host interventions need the serial path)"
+            )
+        from m3p2i_aip_tpu.tamp.batch_loop import BatchSimLoop
+
+        t0 = time.time()
+        seeds = [r + seed_offset for r in range(n_runs)]
+        batch = BatchSimLoop(
+            cfg, seeds, shard=(parallel_seeds.lower() == "shard")
+        )
+        batch.warmup(20)
+        logs = batch.run_chunked(cfg.n_steps, chunk=chunked or 10)
+        logger = RunLogger(out)
+        successes = 0
+        for run, log in enumerate(logs):
+            ok = log.success_step is not None
+            successes += int(ok)
+            view = batch.views[run]
+            if is_albert:
+                logger.add(
+                    finalize_albert_row(log, view, cfg.goal, dt=cfg.sim.dt)
+                )
+            else:
+                logger.add(
+                    finalize_point_row(log, view, cfg.goal, t0, dt=cfg.sim.dt)
+                )
+            print(
+                f"run {run}: success={ok} steps={log.steps} "
+                f"collisions={log.collisions}",
+                flush=True,
+            )
+        path = logger.save()
+        print(f"\nsaved {n_runs} rows -> {path} "
+              f"({time.time() - t0:.1f} s wall for the whole batch)")
+        print(f"success rate: {successes}/{n_runs}")
+        data = np.load(path)
+        for k, (m, s) in summarize(data, family).items():
+            print(f"{k}: {m:.4f} ± {s:.4f}")
+        return
 
     logger = RunLogger(out)
     successes = 0
