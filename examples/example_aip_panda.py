@@ -8,6 +8,9 @@ idle_success at obs=3) is the golden sequence asserted by
 """
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from m3p2i_aip_tpu.planners.task_planner import (
     adaptive_action_selection,
     ai_agent,

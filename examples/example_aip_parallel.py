@@ -6,6 +6,9 @@ Parity target: ``examples/example_aip_parallel.py`` — demonstrates
 """
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from m3p2i_aip_tpu.planners.task_planner import (
     ai_agent,
     parallel_action_selection,

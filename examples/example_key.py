@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from m3p2i_aip_tpu.config.config_store import load_config
 from m3p2i_aip_tpu.envs import make_env
 from m3p2i_aip_tpu.utils import skill_utils

@@ -51,39 +51,36 @@ class BatchSimLoop:
     """
 
     def __init__(self, cfg, seeds: Sequence[int], shard: bool = False) -> None:
+        # The batched program is a vmap over the whole chunk body, and
+        # vmap-of-pallas_call batches the kernel's SMEM task vector into an
+        # illegal (B, n) block (Mosaic requires lane-divisible or full-array
+        # blocks).  The pure-XLA rollout vmaps and GSPMD-shards cleanly, and
+        # XLA auto-vectorizes it over the folded B x K sample batch — the
+        # fused kernels stay the SERIAL path's speed story.  Deep-copied so
+        # the caller's cfg keeps its kernel path.
+        import copy
+
+        cfg = copy.deepcopy(cfg)
+        cfg.mppi.use_pallas = False
         self.cfg = cfg
         self.tamp = ReactiveTAMP(cfg)
+        assert self.tamp.motion_planner.rollout_override is None, (
+            "batched runner requires the vmappable XLA rollout path"
+        )
         self.env = self.tamp.env
         if self.env.env_type == "panda_env":
             raise NotImplementedError(
                 "panda uses the on-device AIF chunk path (run_chunk_panda); "
                 "the batched runner covers the point/albert families"
             )
-        self.seeds = list(seeds)
-        B = len(self.seeds)
-        # per-seed host symbolic planners (mutable latches live here)
-        self.planners = [
-            build_task_planner(cfg, self.env, self.tamp.objective)
-            for _ in range(B)
-        ]
-        # per-seed sampler state: reseed regenerates the Halton deltas, which
-        # live in MPPIState (traced data) — B states, ONE compiled program
-        mp = self.tamp.motion_planner
-        states = []
-        for s in self.seeds:
-            mp.reseed(int(s))
-            states.append(mp.init_state())
-        self.mppi_state = _tree_stack(states)
-        self.state = None  # set by warmup()
-        self.logs: List[TickLog] = [TickLog() for _ in range(B)]
-        self.views: List[Optional[dict]] = [None] * B  # frozen at success
-        self.done = np.zeros(B, dtype=bool)
+        self.reset(seeds)
 
         self._sharding = None
         if shard:
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
             devs = jax.devices()
+            B = len(self.seeds)
             if B % len(devs) != 0:
                 raise ValueError(
                     f"B={B} seeds must divide the {len(devs)}-device mesh; "
@@ -103,6 +100,31 @@ class BatchSimLoop:
         )
 
     # ------------------------------------------------------------------ setup
+    def reset(self, seeds: Optional[Sequence[int]] = None) -> None:
+        """Fresh seeded batch WITHOUT rebuilding the planner or retracing the
+        vmapped chunk program (the per-seed Halton deltas are traced MPPIState
+        data — SimLoop.reset's invariant, batched)."""
+        if seeds is not None:
+            self.seeds = list(seeds)
+        B = len(self.seeds)
+        # per-seed host symbolic planners (mutable latches live here)
+        self.planners = [
+            build_task_planner(self.cfg, self.env, self.tamp.objective)
+            for _ in range(B)
+        ]
+        # per-seed sampler state: reseed regenerates the Halton deltas, which
+        # live in MPPIState (traced data) — B states, ONE compiled program
+        mp = self.tamp.motion_planner
+        states = []
+        for s in self.seeds:
+            mp.reseed(int(s))
+            states.append(mp.init_state())
+        self.mppi_state = _tree_stack(states)
+        self.state = None  # set by warmup()
+        self.logs: List[TickLog] = [TickLog() for _ in range(B)]
+        self.views: List[Optional[dict]] = [None] * B  # frozen at success
+        self.done = np.zeros(B, dtype=bool)
+
     def warmup(self, n: int = 20) -> None:
         """Settle ONE scene and broadcast it: the warmup is zero-action and
         deterministic, so every seed starts from the identical settled state

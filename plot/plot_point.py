@@ -20,6 +20,9 @@ import numpy as np
 # few tiny orientation-cost ops this needs
 jax.config.update("jax_platforms", "cpu")
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from m3p2i_aip_tpu.analysis import point_costs, summarize
 from m3p2i_aip_tpu.analysis.stats import box_plot
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Benchmark: serial vs vectorized (BatchSimLoop) seed-batch evaluation.
+
+The reference evaluates its n=20 quality batches strictly serially — one
+Isaac Gym run per seed, back to back (SURVEY.md §4.3).  This framework runs
+the whole batch as ONE vmapped chunk program (tamp/batch_loop.py): B seeds
+share each device dispatch and each fetch, and the rollout batch is
+effectively B x K.  This script measures both paths end-to-end (warmup +
+run-to-success for every seed, the run_experiments.py protocol) in one
+process and prints one JSON line:
+
+    {"metric": "batch_eval_speedup", "serial_s": ..., "batched_s": ...,
+     "value": <speedup>, "B": ..., ...}
+
+Run on the TPU (or CPU):  python scripts/bench_batch_eval.py [n_runs=20]
+Artifact: BATCH_EVAL_BENCH.json at the repo root (unless out=- is given).
+"""
+import json
+import os
+import sys
+import time
+
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from m3p2i_aip_tpu.config.config_store import load_config
+from m3p2i_aip_tpu.tamp.batch_loop import BatchSimLoop
+from m3p2i_aip_tpu.tamp.sim_loop import SimLoop
+
+_OVR = ["task=push", "goal=[-1,-1]"]  # the published case2 push scenario
+_CHUNK = 10
+_WARMUP = 20
+
+
+def _serial(loop, cfg, seeds, n_steps):
+    """One full seed sweep on an existing SimLoop (reset keeps the one
+    traced+compiled planner across seeds)."""
+    t0 = time.perf_counter()
+    ticks = 0
+    ok = 0
+    for s in seeds:
+        cfg.mppi.seed_val = s
+        loop.reset(s)
+        loop.warmup(_WARMUP)
+        log = loop.run_chunked(n_steps, chunk=_CHUNK)
+        ticks += log.steps
+        ok += int(log.success_step is not None)
+    return time.perf_counter() - t0, ticks, ok
+
+
+def _batched(batch, seeds, n_steps):
+    """One full batched sweep on an existing BatchSimLoop."""
+    t0 = time.perf_counter()
+    batch.reset(seeds)
+    batch.warmup(_WARMUP)
+    logs = batch.run_chunked(n_steps, chunk=_CHUNK)
+    ticks = sum(log.steps for log in logs)
+    ok = sum(int(log.success_step is not None) for log in logs)
+    return time.perf_counter() - t0, ticks, ok
+
+
+def main(argv):
+    n_runs = 20
+    out = "BATCH_EVAL_BENCH.json"
+    for a in argv:
+        if a.startswith("n_runs="):
+            n_runs = int(a.split("=", 1)[1])
+        elif a.startswith("out="):
+            out = a.split("=", 1)[1]
+        elif a == "platform=cpu":
+            # JAX_PLATFORMS is ignored by this image's TPU plugin; force CPU
+            # the way tests/conftest.py does
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+    seeds = list(range(n_runs))
+
+    import jax
+
+    platform = jax.devices()[0].platform
+
+    # Sweep 1 on each path pays its compiles (the serial tick at B=1 vs the
+    # vmapped chunk at B=n_runs); sweep 2 reuses the SAME loop objects, so it
+    # is the honest steady-state cost of another n_runs-seed batch.  Each
+    # path gets its own cfg (BatchSimLoop switches itself to the vmappable
+    # XLA rollout; the serial path keeps the fused kernels).
+    cfg_s = load_config("config_point", list(_OVR))
+    n_steps = int(cfg_s.n_steps)
+    serial_loop = SimLoop(cfg_s)
+    serial_s, serial_ticks, serial_ok = _serial(serial_loop, cfg_s, seeds, n_steps)
+    serial2_s, _, _ = _serial(serial_loop, cfg_s, seeds, n_steps)
+
+    cfg_b = load_config("config_point", list(_OVR))
+    batch = BatchSimLoop(cfg_b, seeds)
+    batched_s, batched_ticks, batched_ok = _batched(batch, seeds, n_steps)
+    batched2_s, _, _ = _batched(batch, seeds, n_steps)
+
+    rec = {
+        "metric": "batch_eval_speedup",
+        "value": round(serial2_s / batched2_s, 2),
+        "unit": "x (serial / batched wall, warm)",
+        "B": n_runs,
+        "platform": platform,
+        "task": "push goal=[-1,-1] chunk=10",
+        "serial_s": round(serial_s, 2),
+        "batched_s": round(batched_s, 2),
+        "serial_warm_s": round(serial2_s, 2),
+        "batched_warm_s": round(batched2_s, 2),
+        "cold_speedup": round(serial_s / batched_s, 2),
+        "serial_ticks": serial_ticks,
+        "batched_ticks": batched_ticks,
+        "serial_success": f"{serial_ok}/{n_runs}",
+        "batched_success": f"{batched_ok}/{n_runs}",
+    }
+    line = json.dumps(rec)
+    print(line)
+    if out != "-":
+        with open(out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

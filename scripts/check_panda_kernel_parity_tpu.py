@@ -11,6 +11,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from m3p2i_aip_tpu.config.config_store import load_config
 from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
 

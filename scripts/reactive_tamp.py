@@ -16,6 +16,9 @@ want the planner and the actuated sim in separate terminals.
 """
 import sys
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from m3p2i_aip_tpu.config.config_store import load_config_from_argv
 from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMPServer
 from m3p2i_aip_tpu.utils import rpc

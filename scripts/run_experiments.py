@@ -17,6 +17,9 @@ import time
 
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from m3p2i_aip_tpu.analysis import (
     RunLogger,
     finalize_albert_row,

@@ -19,6 +19,9 @@ import sys
 
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from m3p2i_aip_tpu.config.config_store import load_config_from_argv
 from m3p2i_aip_tpu.tamp.sim_loop import run_sim
 
