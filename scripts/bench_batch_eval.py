@@ -39,8 +39,7 @@ def _serial(loop, cfg, seeds, n_steps):
     ticks = 0
     ok = 0
     for s in seeds:
-        cfg.mppi.seed_val = s
-        loop.reset(s)
+        loop.reset(s)  # assigns cfg.mppi.seed_val and reseeds the sampler
         loop.warmup(_WARMUP)
         log = loop.run_chunked(n_steps, chunk=_CHUNK)
         ticks += log.steps

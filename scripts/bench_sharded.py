@@ -19,7 +19,6 @@ import os
 import sys
 import time
 
-import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

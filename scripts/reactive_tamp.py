@@ -14,9 +14,9 @@ Run in the command line:
 Prefer the single-process ``scripts/run_tamp.py`` unless you specifically
 want the planner and the actuated sim in separate terminals.
 """
+import os
 import sys
 
-import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from m3p2i_aip_tpu.config.config_store import load_config_from_argv

@@ -12,12 +12,12 @@ Run:
     python3 scripts/run_experiments.py task=push_pull multi_modal=True \
         goal="[-3.75,-3.75]" n_runs=20 out=plot/point/hybrid.npy
 """
+import os
 import sys
 import time
 
 import numpy as np
 
-import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from m3p2i_aip_tpu.analysis import (
