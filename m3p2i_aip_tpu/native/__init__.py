@@ -80,6 +80,8 @@ def native_halton(
         return None
     bases = np.ascontiguousarray(np.asarray(bases, dtype=np.int64))
     ndims = bases.shape[0]
+    if ndims == 0:
+        return np.empty((num_samples, 0), dtype=np.float64)
     flat, offsets = [], np.zeros(ndims, dtype=np.int64)
     pos = 0
     for d in range(ndims):

@@ -38,6 +38,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class SmemRowView:
+    """Row ``b`` of a [B, n] SMEM ref, exposing the [n]-ref indexing the
+    single-program kernels were written against.
+
+    This is what makes the rollout kernels vmap-able: the batched variants
+    run the SAME kernel body over a ``grid=(B,)`` with the per-batch task
+    scalars read through this view (a vmap of the unbatched pallas_call
+    would instead batch the SMEM vector into an illegal (B, n) block)."""
+
+    __slots__ = ("_ref", "_b")
+
+    def __init__(self, ref, b):
+        self._ref = ref
+        self._b = b
+
+    def __getitem__(self, i):
+        return self._ref[self._b, i]
+
+
 def _weights_kernel(
     cost_ref,  # [Tp, Kp] f32 VMEM (K on the lane axis)
     gamma_ref,  # [Tp, 1] f32 VMEM (zero on padded rows)
@@ -88,6 +107,83 @@ def _weights_kernel(
     out_ref[:, :] = e / jnp.sum(e, axis=1, keepdims=True)
 
 
+_MMW_FNS = {}  # (K, T, half_K, eta_u, eta_l, interpret) -> custom_vmap callable
+
+
+def _build_mmw(K: int, T: int, half_K: int, eta_u: float, eta_l: float,
+               interpret: bool):
+    """Build the (vmap-able) fused weights callable for one static shape."""
+    from jax.custom_batching import custom_vmap
+
+    Kp, Tp = _round_up(K, 128), _round_up(T, 8)
+
+    def _pack(cost_horizon, gamma_seq):
+        # [Tp, Kp]: K on the lane axis.  Padded K lanes are zero here — the
+        # kernel's validity mask turns them into +inf before the softmax.
+        cost_p = jnp.zeros((Tp, Kp), dtype=jnp.float32)
+        cost_p = cost_p.at[:T, :K].set(cost_horizon.astype(jnp.float32).T)
+        gamma_p = jnp.zeros((Tp, 1), dtype=jnp.float32).at[:T, 0].set(
+            gamma_seq.astype(jnp.float32)
+        )
+        return cost_p, gamma_p
+
+    # named closure, NOT functools.partial — a partial's repr embeds a memory
+    # address, destabilizing the persistent-compilation-cache key across
+    # processes (see pallas_rollout.py)
+    def weights_kernel(*refs):
+        return _weights_kernel(*refs, K=K, half_K=half_K, eta_u=eta_u, eta_l=eta_l)
+
+    @custom_vmap
+    def mmw(cost_horizon, gamma_seq):
+        cost_p, gamma_p = _pack(cost_horizon, gamma_seq)
+        out = pl.pallas_call(
+            weights_kernel,
+            out_shape=jax.ShapeDtypeStruct((3, Kp), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=Kp * Tp * 2 + 3 * _BETA_ITERS * Kp * 2,
+                bytes_accessed=Kp * Tp * 4 + 3 * Kp * 4,
+                transcendentals=3 * _BETA_ITERS * Kp,
+            ),
+            interpret=interpret,
+        )(cost_p, gamma_p)
+        return out[0, :K], out[1, :K], out[2, :K]
+
+    @mmw.def_vmap
+    def _mmw_vmap(axis_size, in_batched, cost_horizon, gamma_seq):
+        # Batched variant: the SAME kernel body over a grid=(B,), one padded
+        # [Tp, Kp] cost block per batch element (the vmapped multi-seed
+        # runner, tamp/batch_loop.py, hits this under jax.vmap).
+        B = axis_size
+
+        def bc(x, batched):
+            x = jnp.asarray(x)
+            return x if batched else jnp.broadcast_to(x[None], (B,) + x.shape)
+
+        cost_horizon = bc(cost_horizon, in_batched[0])
+        gamma_seq = bc(gamma_seq, in_batched[1])
+        cost_p, gamma_p = jax.vmap(_pack)(cost_horizon, gamma_seq)
+        out = pl.pallas_call(
+            weights_kernel,
+            grid=(B,),
+            out_shape=jax.ShapeDtypeStruct((B * 3, Kp), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((Tp, Kp), lambda b: (b, 0)),
+                pl.BlockSpec((Tp, 1), lambda b: (b, 0)),
+            ],
+            out_specs=pl.BlockSpec((3, Kp), lambda b: (b, 0)),
+            interpret=interpret,
+        )(cost_p.reshape(B * Tp, Kp), gamma_p.reshape(B * Tp, 1))
+        out = out.reshape(B, 3, Kp)
+        return (out[:, 0, :K], out[:, 1, :K], out[:, 2, :K]), (True, True, True)
+
+    return mmw
+
+
 def multimodal_weights_pallas(
     cost_horizon: jnp.ndarray,
     gamma_seq: jnp.ndarray,
@@ -101,40 +197,14 @@ def multimodal_weights_pallas(
     Drop-in for MPPI._multi_modal_exp_util's three masked adaptive-beta
     softmaxes (m3p2i.py:46-64 semantics).  Returns three [K] weight vectors.
     ``interpret=True`` runs the kernel through the Pallas interpreter so the
-    CPU suite can check kernel-vs-XLA parity without a TPU.
+    CPU suite can check kernel-vs-XLA parity without a TPU.  vmap-able: a
+    batched call dispatches one grid=(B,) kernel (see _build_mmw).
     """
-    K, T = cost_horizon.shape
-    Kp, Tp = _round_up(K, 128), _round_up(T, 8)
-    # [Tp, Kp]: K on the lane axis.  Padded K lanes are zero here — the
-    # kernel's validity mask turns them into +inf before the softmax.
-    cost_p = jnp.zeros((Tp, Kp), dtype=jnp.float32)
-    cost_p = cost_p.at[:T, :K].set(cost_horizon.astype(jnp.float32).T)
-    gamma_p = jnp.zeros((Tp, 1), dtype=jnp.float32).at[:T, 0].set(
-        gamma_seq.astype(jnp.float32)
-    )
-
-    # named closure, NOT functools.partial — a partial's repr embeds a memory
-    # address, destabilizing the persistent-compilation-cache key across
-    # processes (see pallas_rollout.py)
-    def weights_kernel(*refs):
-        return _weights_kernel(*refs, K=K, half_K=half_K, eta_u=eta_u, eta_l=eta_l)
-
-    out = pl.pallas_call(
-        weights_kernel,
-        out_shape=jax.ShapeDtypeStruct((3, Kp), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=Kp * Tp * 2 + 3 * _BETA_ITERS * Kp * 2,
-            bytes_accessed=Kp * Tp * 4 + 3 * Kp * 4,
-            transcendentals=3 * _BETA_ITERS * Kp,
-        ),
-        interpret=interpret,
-    )(cost_p, gamma_p)
-    return out[0, :K], out[1, :K], out[2, :K]
+    K, T = cost_horizon.shape[-2], cost_horizon.shape[-1]
+    key = (K, T, half_K, float(eta_u), float(eta_l), bool(interpret))
+    if key not in _MMW_FNS:
+        _MMW_FNS[key] = _build_mmw(K, T, half_K, eta_u, eta_l, interpret)
+    return _MMW_FNS[key](cost_horizon, gamma_seq)
 
 
 def pallas_available() -> bool:

@@ -773,9 +773,11 @@ def make_panda_rollout(
 
     from m3p2i_aip_tpu.ops.quat import quat_to_rotmat
 
-    def rollout(sim_state_k, acts, task, k0=None):
+    _N_ROWS = 61
+
+    def _pack(sim_state_k, acts, task, k0v, Kp):
+        """(task_vec [10], acts_p [T, 9, Kp], state_packed [61, Kp])."""
         K_loc = acts.shape[0]
-        call, Kp = _get_call(K_loc)
         s0 = jax.tree_util.tree_map(lambda x: x[0], sim_state_k)
         cAR0 = quat_to_rotmat(s0.body_quat[1]).reshape(9)
         rows = (
@@ -794,14 +796,13 @@ def make_panda_rollout(
             + [s0.attach_rot.reshape(9)[i] for i in range(9)]
         )
         state_packed = jnp.broadcast_to(
-            jnp.stack(rows)[:, None], (61, Kp)
+            jnp.stack(rows)[:, None], (_N_ROWS, Kp)
         ).astype(jnp.float32)
 
         acts_t = jnp.swapaxes(acts, 0, 1)  # [T, K_loc, 9]
         acts_p = jnp.zeros((T, 9, Kp), jnp.float32)
         acts_p = acts_p.at[:, :, :K_loc].set(jnp.swapaxes(acts_t, 1, 2))
 
-        k0v = jnp.zeros((), jnp.float32) if k0 is None else jnp.asarray(k0, jnp.float32)
         task_vec = jnp.concatenate(
             [
                 task.task_id.astype(jnp.float32)[None],
@@ -810,10 +811,98 @@ def make_panda_rollout(
                 task.zup_gate.astype(jnp.float32)[None],
             ]
         )
+        return task_vec, acts_p, state_packed
 
-        cost, tx, ty = call(task_vec, acts_p, state_packed)
+    def _unpack(cost, tx, ty, K_loc):
         cost_horizon = jnp.swapaxes(cost[:, :K_loc], 0, 1)
         tps = jnp.stack([tx[:, :K_loc], ty[:, :K_loc]], axis=-1)
         return cost_horizon, jnp.swapaxes(tps, 0, 1)
+
+    def _single(sim_state_k, acts, task, k0):
+        K_loc = acts.shape[0]
+        call, Kp = _get_call(K_loc)
+        k0v = jnp.zeros((), jnp.float32) if k0 is None else jnp.asarray(k0, jnp.float32)
+        task_vec, acts_p, state_packed = _pack(sim_state_k, acts, task, k0v, Kp)
+        cost, tx, ty = call(task_vec, acts_p, state_packed)
+        return _unpack(cost, tx, ty, K_loc)
+
+    # batched variant: grid=(B,), per-batch task scalars via SmemRowView —
+    # see pallas_rollout.py for the full rationale (this is what lets the
+    # vmapped multi-seed runner keep the fused panda kernel)
+    from m3p2i_aip_tpu.ops.pallas_kernels import SmemRowView
+
+    _bcalls = {}
+
+    def _get_batched_call(B: int, K_loc: int):
+        key = (B, K_loc)
+        if key not in _bcalls:
+            Kp = _round_up(K_loc, 128)
+
+            def panda_rollout_kernel_batched(task_ref, *refs):
+                return _panda_kernel(
+                    SmemRowView(task_ref, pl.program_id(0)), *refs, P=P
+                )
+
+            _bcalls[key] = (
+                pl.pallas_call(
+                    panda_rollout_kernel_batched,
+                    grid=(B,),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
+                    ),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((T, 9, Kp), lambda b: (b, 0, 0)),
+                        pl.BlockSpec((_N_ROWS, Kp), lambda b: (b, 0)),
+                    ],
+                    out_specs=(
+                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
+                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
+                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
+                    ),
+                    interpret=interpret,
+                ),
+                Kp,
+            )
+        return _bcalls[key]
+
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def _rollout_cv(sim_state_k, acts, task):
+        return _single(sim_state_k, acts, task, None)
+
+    @_rollout_cv.def_vmap
+    def _rollout_cv_rule(axis_size, in_batched, sim_state_k, acts, task):
+        B = axis_size
+
+        def bc(x, batched):
+            x = jnp.asarray(x)
+            return x if batched else jnp.broadcast_to(x[None], (B,) + x.shape)
+
+        sim_state_k = jax.tree.map(bc, sim_state_k, in_batched[0])
+        acts = bc(acts, in_batched[1])
+        task = jax.tree.map(bc, task, in_batched[2])
+        K_loc = acts.shape[1]
+        call, Kp = _get_batched_call(B, K_loc)
+        zero = jnp.zeros((), jnp.float32)
+        tv, ap, sp = jax.vmap(lambda s, a, t: _pack(s, a, t, zero, Kp))(
+            sim_state_k, acts, task
+        )
+        cost, tx, ty = call(
+            tv, ap.reshape(B * T, 9, Kp), sp.reshape(B * _N_ROWS, Kp)
+        )
+        cost = cost.reshape(B, T, Kp)
+        tx = tx.reshape(B, T, Kp)
+        ty = ty.reshape(B, T, Kp)
+        ch, tps = jax.vmap(lambda c, x, y: _unpack(c, x, y, K_loc))(cost, tx, ty)
+        return (ch, tps), (True, True)
+
+    def rollout(sim_state_k, acts, task, k0=None):
+        if k0 is None:
+            return _rollout_cv(sim_state_k, acts, task)
+        return _single(sim_state_k, acts, task, k0)
 
     return rollout

@@ -715,13 +715,14 @@ def make_point_rollout(
             )
         return _calls[K_loc]
 
-    def rollout(sim_state_k, acts, task, k0=None):
-        """``k0`` = this shard's global sample offset (None/0 unsharded)."""
-        K_loc = acts.shape[0]
-        call, Kp = _get_call(K_loc)
+    n_rows = 2 * P["n_q"] + 6 * D
+
+    def _pack(sim_state_k, acts, task, k0v, Kp):
+        """(task_vec [4], acts_p [T, n_u, Kp], state_packed [n_rows, Kp])."""
         # single start state (all K identical by construction)
         s0 = jax.tree_util.tree_map(lambda x: x[0], sim_state_k)
         n_q, n_u = P["n_q"], P["n_u"]
+        K_loc = acts.shape[0]
         rows = [s0.q[i] for i in range(n_q)] + [s0.qd[i] for i in range(n_q)]
         # dyn rows grouped BY FIELD (all x, all y, ...) so the kernel reads
         # each field as one contiguous [D, Kp] sublane-packed block
@@ -732,21 +733,115 @@ def make_point_rollout(
         rows += [s0.dyn_vel[i, 1] for i in range(D)]
         rows += [s0.dyn_om[i] for i in range(D)]
         state_packed = jnp.broadcast_to(
-            jnp.stack(rows)[:, None], (2 * n_q + 6 * D, Kp)
+            jnp.stack(rows)[:, None], (n_rows, Kp)
         ).astype(jnp.float32)
 
         acts_t = jnp.swapaxes(acts, 0, 1)  # [T, K_loc, nu]
         acts_p = jnp.zeros((T, n_u, Kp), jnp.float32)
         acts_p = acts_p.at[:, :, :K_loc].set(jnp.swapaxes(acts_t, 1, 2))
 
-        k0v = jnp.zeros((), jnp.float32) if k0 is None else jnp.asarray(k0, jnp.float32)
         task_vec = jnp.stack(
             [task.task_id.astype(jnp.float32), task.goal[0], task.goal[1], k0v]
         )
+        return task_vec, acts_p, state_packed
 
-        cost, tx, ty = call(task_vec, acts_p, state_packed)
+    def _unpack(cost, tx, ty, K_loc):
         cost_horizon = jnp.swapaxes(cost[:, :K_loc], 0, 1)  # [K_loc, T]
         tps = jnp.stack([tx[:, :K_loc], ty[:, :K_loc]], axis=-1)
         return cost_horizon, jnp.swapaxes(tps, 0, 1)
+
+    def _single(sim_state_k, acts, task, k0):
+        K_loc = acts.shape[0]
+        call, Kp = _get_call(K_loc)
+        k0v = jnp.zeros((), jnp.float32) if k0 is None else jnp.asarray(k0, jnp.float32)
+        task_vec, acts_p, state_packed = _pack(sim_state_k, acts, task, k0v, Kp)
+        cost, tx, ty = call(task_vec, acts_p, state_packed)
+        return _unpack(cost, tx, ty, K_loc)
+
+    # ------------------------------------------------------- batched variant
+    # A jax.vmap over the rollout (the vmapped multi-seed runner,
+    # tamp/batch_loop.py) dispatches ONE kernel over a grid=(B,): block b of
+    # the folded [B*T, ...] operands is batch element b's full rollout, and
+    # the per-batch task scalars are read through a SmemRowView of the
+    # [B, 4] SMEM matrix (vmap of the unbatched call would batch the SMEM
+    # vector into an illegal (B, 4) block).
+    from m3p2i_aip_tpu.ops.pallas_kernels import SmemRowView
+
+    _bcalls = {}
+
+    def _get_batched_call(B: int, K_loc: int):
+        key = (B, K_loc)
+        if key not in _bcalls:
+            Kp = _round_up(K_loc, 128)
+            n_u = P["n_u"]
+
+            def point_rollout_kernel_batched(task_ref, *refs):
+                return _rollout_kernel(
+                    SmemRowView(task_ref, pl.program_id(0)), *refs, P=P
+                )
+
+            _bcalls[key] = (
+                pl.pallas_call(
+                    point_rollout_kernel_batched,
+                    grid=(B,),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
+                    ),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((T, n_u, Kp), lambda b: (b, 0, 0)),
+                        pl.BlockSpec((n_rows, Kp), lambda b: (b, 0)),
+                    ],
+                    out_specs=(
+                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
+                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
+                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
+                    ),
+                    interpret=interpret,
+                ),
+                Kp,
+            )
+        return _bcalls[key]
+
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def _rollout_cv(sim_state_k, acts, task):
+        return _single(sim_state_k, acts, task, None)
+
+    @_rollout_cv.def_vmap
+    def _rollout_cv_rule(axis_size, in_batched, sim_state_k, acts, task):
+        B = axis_size
+
+        def bc(x, batched):
+            x = jnp.asarray(x)
+            return x if batched else jnp.broadcast_to(x[None], (B,) + x.shape)
+
+        sim_state_k = jax.tree.map(bc, sim_state_k, in_batched[0])
+        acts = bc(acts, in_batched[1])
+        task = jax.tree.map(bc, task, in_batched[2])
+        K_loc = acts.shape[1]
+        call, Kp = _get_batched_call(B, K_loc)
+        zero = jnp.zeros((), jnp.float32)  # k0: batched mode never shards K
+        tv, ap, sp = jax.vmap(lambda s, a, t: _pack(s, a, t, zero, Kp))(
+            sim_state_k, acts, task
+        )
+        n_u = P["n_u"]
+        cost, tx, ty = call(
+            tv, ap.reshape(B * T, n_u, Kp), sp.reshape(B * n_rows, Kp)
+        )
+        cost = cost.reshape(B, T, Kp)
+        tx = tx.reshape(B, T, Kp)
+        ty = ty.reshape(B, T, Kp)
+        ch, tps = jax.vmap(lambda c, x, y: _unpack(c, x, y, K_loc))(cost, tx, ty)
+        return (ch, tps), (True, True)
+
+    def rollout(sim_state_k, acts, task, k0=None):
+        """``k0`` = this shard's global sample offset (None/0 unsharded)."""
+        if k0 is None:
+            return _rollout_cv(sim_state_k, acts, task)
+        return _single(sim_state_k, acts, task, k0)
 
     return rollout

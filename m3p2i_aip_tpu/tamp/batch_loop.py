@@ -11,19 +11,27 @@ symbolic planners (the latches/stall detectors are per-run mutable state)
 and drains B logs per chunk boundary — one device dispatch and one fetch
 where the serial runner paid B of each.
 
+The fused Pallas rollout/weight kernels stay live under the vmap: their
+``custom_vmap`` rules dispatch one ``grid=(B,)`` kernel per chunk tick
+(ops/pallas_rollout.py, ops/pallas_panda_rollout.py, ops/pallas_kernels.py),
+so the batched runner keeps the serial path's kernel speed.  Parity: host
+logs are tick-for-tick identical to B serial ``SimLoop.run_chunked`` runs at
+the same chunk size ON THE SAME ROLLOUT BACKEND (tests/test_batch_loop.py
+asserts this on the CPU XLA path; the batched-kernel == serial-kernel check
+is the vmap parity tests in tests/test_pallas.py).
+
 Seeds finish at different ticks: the chunk program's success gate takes a
-``done0`` pre-latch (ReactiveTAMP._run_chunk_impl), and jax's batched
-``lax.while_loop`` masks the body per element, so a finished seed's state is
-frozen mid-batch exactly as if the host had stopped dispatching it.  Host
-logs are tick-for-tick identical to the serial ``SimLoop.run_chunked`` path
-at the same chunk size (tests/test_batch_loop.py asserts this).
+``done0`` pre-latch (ReactiveTAMP._run_chunk_impl / _run_chunk_panda_impl),
+and jax's batched ``lax.while_loop`` masks the body per element, so a
+finished seed's state is frozen mid-batch exactly as if the host had stopped
+dispatching it.
 
 ``shard=True`` lays the seed axis over all visible devices
 (`jax.sharding.Mesh` axis "seeds"): embarrassingly data-parallel, so GSPMD
 partitions the whole chunk program with no cross-seed collectives except the
-while-gate's global any().  This composes with neither the K-axis sample
-sharding (parallel/mesh.py) nor the panda on-device-AIF chunk path — point
-and albert families only.
+while-gate's global any().  Sharding forces the pure-XLA rollout (GSPMD
+cannot partition an opaque pallas_call); it composes with neither the K-axis
+sample sharding (parallel/mesh.py) nor — yet — the panda family.
 """
 from __future__ import annotations
 
@@ -38,6 +46,8 @@ from m3p2i_aip_tpu.planners.motion_planner.mppi import TASK_IDS, TaskParams
 from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP, build_task_planner
 from m3p2i_aip_tpu.tamp.sim_loop import TickLog
 
+_STAGE_TASK = ("reach", "pick", "place")
+
 
 def _tree_stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
@@ -51,63 +61,76 @@ class BatchSimLoop:
     """
 
     def __init__(self, cfg, seeds: Sequence[int], shard: bool = False) -> None:
-        # The batched program is a vmap over the whole chunk body, and
-        # vmap-of-pallas_call batches the kernel's SMEM task vector into an
-        # illegal (B, n) block (Mosaic requires lane-divisible or full-array
-        # blocks).  The pure-XLA rollout vmaps and GSPMD-shards cleanly, and
-        # XLA auto-vectorizes it over the folded B x K sample batch — the
-        # fused kernels stay the SERIAL path's speed story.  Deep-copied so
-        # the caller's cfg keeps its kernel path.
-        import copy
-
-        cfg = copy.deepcopy(cfg)
-        cfg.mppi.use_pallas = False
         self.cfg = cfg
         self.tamp = ReactiveTAMP(cfg)
-        assert self.tamp.motion_planner.rollout_override is None, (
-            "batched runner requires the vmappable XLA rollout path"
-        )
         self.env = self.tamp.env
-        if self.env.env_type == "panda_env":
-            raise NotImplementedError(
-                "panda uses the on-device AIF chunk path (run_chunk_panda); "
-                "the batched runner covers the point/albert families"
-            )
-        self.reset(seeds)
+        self.is_panda = self.env.env_type == "panda_env"
 
         self._sharding = None
         if shard:
+            if self.is_panda:
+                raise NotImplementedError(
+                    "seed-sharding the panda chunk program is untested; "
+                    "run the panda batch unsharded (shard=False)"
+                )
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
+            # GSPMD treats a pallas_call as an opaque custom call it cannot
+            # partition along the seed axis — sharded mode pins itself to
+            # the pure-XLA rollout (which GSPMD auto-vectorizes over the
+            # folded B x K batch).  Unsharded batches keep the kernels.
+            self.tamp.motion_planner.set_rollout_override(None)
+            self.tamp.motion_planner.use_pallas = False
             devs = jax.devices()
-            B = len(self.seeds)
-            if B % len(devs) != 0:
-                raise ValueError(
-                    f"B={B} seeds must divide the {len(devs)}-device mesh; "
-                    "pad the seed list (pad rows are cheap — drop their logs)"
-                )
+            self._check_batch(len(seeds), len(devs))
             mesh = Mesh(np.asarray(devs), ("seeds",))
             self._sharding = NamedSharding(mesh, PartitionSpec("seeds"))
 
-        def chunk_fn(ms, rs, task, i0, done0, length):
-            return self.tamp._run_chunk_impl(
-                ms, rs, task, i0, length, gate=True, done0=done0
+        self.reset(seeds)
+
+        if self.is_panda:
+            def chunk_panda_fn(ms, rs, stage, zs, done0, length):
+                return self.tamp._run_chunk_panda_impl(
+                    ms, rs, stage, zs, length, done0=done0
+                )
+
+            self._chunk_batched_panda = jax.jit(
+                jax.vmap(chunk_panda_fn, in_axes=(0, 0, 0, 0, 0, None)),
+                static_argnums=(5,),
+            )
+        else:
+            def chunk_fn(ms, rs, task, i0, done0, length):
+                return self.tamp._run_chunk_impl(
+                    ms, rs, task, i0, length, gate=True, done0=done0
+                )
+
+            self._chunk_batched = jax.jit(
+                jax.vmap(chunk_fn, in_axes=(0, 0, 0, None, 0, None)),
+                static_argnums=(5,),
             )
 
-        self._chunk_batched = jax.jit(
-            jax.vmap(chunk_fn, in_axes=(0, 0, 0, None, 0, None)),
-            static_argnums=(5,),
-        )
+    @staticmethod
+    def _check_batch(B: int, n_devs: int) -> None:
+        if B % n_devs != 0:
+            raise ValueError(
+                f"B={B} seeds must divide the {n_devs}-device mesh; "
+                "pad the seed list (pad rows are cheap — drop their logs)"
+            )
 
     # ------------------------------------------------------------------ setup
     def reset(self, seeds: Optional[Sequence[int]] = None) -> None:
-        """Fresh seeded batch WITHOUT rebuilding the planner or retracing the
-        vmapped chunk program (the per-seed Halton deltas are traced MPPIState
-        data — SimLoop.reset's invariant, batched)."""
+        """Fresh seeded batch WITHOUT rebuilding the planner or (for the same
+        batch size B) retracing the vmapped chunk program — the per-seed
+        Halton deltas are traced MPPIState data (SimLoop.reset's invariant,
+        batched).  Changing B changes the batched program's shapes and so
+        costs one retrace."""
         if seeds is not None:
             self.seeds = list(seeds)
         B = len(self.seeds)
-        # per-seed host symbolic planners (mutable latches live here)
+        if self._sharding is not None:
+            self._check_batch(B, self._sharding.mesh.devices.size)
+        # per-seed host symbolic planners (mutable latches live here);
+        # the panda runs its AIF gate on-device and only needs the log labels
         self.planners = [
             build_task_planner(self.cfg, self.env, self.tamp.objective)
             for _ in range(B)
@@ -124,6 +147,9 @@ class BatchSimLoop:
         self.logs: List[TickLog] = [TickLog() for _ in range(B)]
         self.views: List[Optional[dict]] = [None] * B  # frozen at success
         self.done = np.zeros(B, dtype=bool)
+        if self.is_panda:
+            self._stage = jnp.zeros(B, jnp.int32)
+            self._zs = jnp.broadcast_to(self.tamp.zup_zs0(), (B, 4))
 
     def warmup(self, n: int = 20) -> None:
         """Settle ONE scene and broadcast it: the warmup is zero-action and
@@ -205,6 +231,8 @@ class BatchSimLoop:
         (self.views holds each seed's success-tick observation)."""
         if self.state is None:
             self.warmup(0)
+        if self.is_panda:
+            return self._run_chunked_panda(n_steps, chunk)
         B = len(self.seeds)
         i = 0
         while i < n_steps and not self.done.all():
@@ -233,8 +261,74 @@ class BatchSimLoop:
                         b, i, views[b], int(n_ticks[b]), bool(dev_done[b]), per
                     )
             i += chunk
+        return self._finish_logs()
+
+    def _run_chunked_panda(self, n_steps: int, chunk: int) -> List[TickLog]:
+        """Batched panda chunks: the AIF stage gate, replan, and step all run
+        on-device per seed (ReactiveTAMP._run_chunk_panda_impl under vmap).
+        A finished seed freezes via the ``done0`` pre-latch; its post-success
+        zero-action ticks match the serial path's within-chunk freeze."""
+        B = len(self.seeds)
+        i = 0
+        while i < n_steps and not self.done.all():
+            t0 = time.perf_counter()
+            done0 = jnp.asarray(self.done)
+            ms, rs, stage, zs, _done, views, stages, dones = (
+                self._chunk_batched_panda(
+                    self.mppi_state, self.state, self._stage, self._zs,
+                    done0, chunk,
+                )
+            )
+            views, stages, dones = jax.device_get((views, stages, dones))
+            t1 = time.perf_counter()
+            self.mppi_state, self.state = ms, rs
+            self._stage, self._zs = stage, zs
+            live = max(int((~self.done).sum()), 1)
+            per = (t1 - t0) / max(chunk * live, 1)
+            for b in range(B):
+                if self.done[b]:
+                    continue
+                log = self.logs[b]
+                for k in range(chunk):
+                    self.views[b] = self.env.view_unpack(views[b, k])
+                    log.steps += 1
+                    log.replan_s.append(per)
+                    log.sim_s.append(per)
+                    log.task.append(_STAGE_TASK[int(stages[b, k])])
+                    if bool(dones[b, k]):
+                        log.success_step = i + k
+                        self.done[b] = True
+                        break  # freeze log/view at the success tick
+            i += chunk
+        return self._finish_logs()
+
+    def _finish_logs(self) -> List[TickLog]:
         for log in self.logs:
             if not log.sim_s:  # seed done before its first drained tick
                 log.sim_s.append(1e-9)
                 log.replan_s.append(1e-9)
         return self.logs
+
+    def settle(self, n: int = 150) -> None:
+        """Batched twin of SimLoop.settle: ``n`` zero-action free-run steps
+        for every seed in ONE dispatch (panda: place-stage open gripper so
+        the cube releases), then refresh every seed's view.  Call before
+        logging panda envelope rows (the reference logs the RELEASED,
+        settled cube — see SimLoop.settle)."""
+        zero_u = jnp.zeros(self.env.nu)
+        if self.is_panda:
+            zero_u = zero_u.at[7:9].set(1.5)
+        ext = self.env.zero_ext()
+
+        def one(s):
+            def body(c, _):
+                return self.env.step(c, zero_u, ext), None
+
+            return jax.lax.scan(body, s, None, length=n)[0]
+
+        self.state = jax.jit(jax.vmap(one))(self.state)
+        views = jax.device_get(
+            jax.jit(jax.vmap(self.env.view_vec))(self.state)
+        )
+        for b in range(len(self.seeds)):
+            self.views[b] = self.env.view_unpack(views[b])

@@ -485,12 +485,18 @@ class ReactiveTAMP:
         return task, new_stage, success, zs
 
     def _run_chunk_panda_impl(
-        self, mppi_state, real_state, stage, zs, length: int
+        self, mppi_state, real_state, stage, zs, length: int, done0=None
     ):
         """``length`` panda ticks in ONE dispatch: the AIF gate, replan, and
         real-env step all run on-device under lax.scan (the point env's
         chunked mode extended to the panda via _panda_gate_device).  ``zs``
-        is the wedged-pick stall carry (see zup_zs0)."""
+        is the wedged-pick stall carry (see zup_zs0).
+
+        ``done0`` (traced bool) pre-latches the success gate so a chunk
+        entered already-done keeps its zero-action freeze — the vmapped
+        multi-seed runner (tamp/batch_loop.py) relies on this when seeds
+        finish at different ticks (a finished seed must not resume planning
+        if its cube later drifts past the success threshold)."""
 
         def body(carry, _):
             ms, rs, st, zc, done = carry
@@ -504,7 +510,13 @@ class ReactiveTAMP:
         (mppi_state, real_state, stage, zs, done), (views, stages, dones) = (
             jax.lax.scan(
                 body,
-                (mppi_state, real_state, stage, zs, jnp.asarray(False)),
+                (
+                    mppi_state,
+                    real_state,
+                    stage,
+                    zs,
+                    jnp.asarray(False) if done0 is None else done0,
+                ),
                 None,
                 length=length,
             )

@@ -1,17 +1,27 @@
 #!/usr/bin/env python3
-"""Sharded-planner benchmark + equality artifact (SURVEY.md §2.2, VERDICT #5).
+"""Sample-axis sharding benchmark + crossover study (SURVEY.md §2.2).
 
 Shards the K sample axis over all available devices (or an 8-device virtual
-CPU mesh with --virtual) and reports:
-  * sharded vs unsharded action equality at large K
-  * sustained replan rate for both, and per-device sample throughput
+CPU mesh with --virtual) and reports, per K in a sweep:
+  * sharded vs unsharded action equality
+  * sustained replan latency for both, and the sharded/unsharded ratio
 
-On a single host with a virtual mesh the rate numbers measure partitioning
-OVERHEAD (the virtual devices share one CPU); real scaling needs a real
-multi-chip mesh, where the same GSPMD/shard_map program rides ICI.
+The point of the sweep is the CROSSOVER: sample-axis sharding pays a fixed
+partitioning cost (shard_map dispatch, the weight-stage all-gather, GSPMD
+overheads), so it only wins once the per-device rollout work dominates that
+cost.  At the reference workload (K=200..512) a single chip is far from
+saturated and sharding is pure overhead; the sweep finds where (whether)
+the ratio crosses 1 on the measured backend.
+
+On a single host with a virtual mesh the numbers measure partitioning
+OVERHEAD only (the 8 "devices" share one physical CPU, so there is no
+added compute bandwidth to win); on a real multi-chip mesh the same GSPMD
+program rides ICI and the crossover moves to wherever one chip's VMEM/HBM
+saturates.  Both regimes are recorded in the artifact.
 
 Usage:
-    python scripts/bench_sharded.py [--virtual] [--K 512] [--ticks 20]
+    python scripts/bench_sharded.py [--virtual] [--ticks 20] \
+        [--sweep 512,2048,8192,16384] [--out PARALLEL_BENCH.json]
 """
 import argparse
 import json
@@ -26,8 +36,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--virtual", action="store_true",
                     help="force an 8-device virtual CPU mesh")
-    ap.add_argument("--K", type=int, default=512)
     ap.add_argument("--ticks", type=int, default=20)
+    ap.add_argument("--sweep", type=str, default="512,2048,8192,16384",
+                    help="comma-separated K values to sweep")
+    ap.add_argument("--out", type=str, default="PARALLEL_BENCH.json")
     args = ap.parse_args()
 
     if args.virtual:
@@ -38,7 +50,6 @@ def main() -> None:
         os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     if args.virtual:
@@ -49,11 +60,6 @@ def main() -> None:
     from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
 
     n = len(jax.devices())
-    K = args.K - args.K % (2 * n)  # even per-mode split
-    overrides = [
-        "task=push_pull", "multi_modal=True", "goal=[-3.75,-3.75]",
-        f"mppi.num_samples={K}", "mppi.horizon=12", "mppi.u_per_command=12",
-    ]
 
     def bench(tamp):
         state = tamp.env.init_state()
@@ -68,28 +74,60 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / args.ticks
         return np.asarray(act[0]), dt
 
-    tamp_u = ReactiveTAMP(load_config("config_point", overrides))
-    act_u, dt_u = bench(tamp_u)
+    rows = []
+    crossover_K = None
+    for K_req in [int(x) for x in args.sweep.split(",")]:
+        K = K_req - K_req % (2 * n)  # even per-mode split per device
+        overrides = [
+            "task=push_pull", "multi_modal=True", "goal=[-3.75,-3.75]",
+            f"mppi.num_samples={K}", "mppi.horizon=12",
+            "mppi.u_per_command=12",
+        ]
+        tamp_u = ReactiveTAMP(load_config("config_point", overrides))
+        act_u, dt_u = bench(tamp_u)
 
-    tamp_s = ReactiveTAMP(load_config("config_point", overrides))
-    shard_planner(tamp_s.motion_planner, make_mesh())
-    act_s, dt_s = bench(tamp_s)
+        tamp_s = ReactiveTAMP(load_config("config_point", overrides))
+        shard_planner(tamp_s.motion_planner, make_mesh())
+        act_s, dt_s = bench(tamp_s)
 
-    equal = bool(np.allclose(act_u, act_s, atol=1e-4))
+        equal = bool(np.allclose(act_u, act_s, atol=1e-4))
+        ratio = dt_s / dt_u
+        if crossover_K is None and ratio < 1.0:
+            crossover_K = K
+        row = {
+            "K": K,
+            "unsharded_replan_ms": round(dt_u * 1e3, 3),
+            "sharded_replan_ms": round(dt_s * 1e3, 3),
+            "sharded_over_unsharded": round(ratio, 3),
+            "sharded_samples_per_sec_per_device": round(K / dt_s / n, 1),
+            "action_equal": equal,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        if not equal:
+            print("MISMATCH:", act_u, act_s, file=sys.stderr)
+            sys.exit(1)
+
     out = {
         "devices": n,
         "platform": jax.devices()[0].platform,
-        "K": K,
         "ticks": args.ticks,
-        "unsharded_replan_ms": round(dt_u * 1e3, 3),
-        "sharded_replan_ms": round(dt_s * 1e3, 3),
-        "sharded_samples_per_sec_per_device": round(K / dt_s / n, 1),
-        "action_equal": equal,
+        "sweep": rows,
+        # K at which sharding first beats unsharded on THIS backend
+        # (null = sharding never paid within the sweep)
+        "crossover_K": crossover_K,
+        "note": (
+            "virtual-mesh devices share one physical CPU: the sweep "
+            "measures partitioning overhead, not scaling; on a real "
+            "multi-chip ICI mesh the per-device rollout capacity is what "
+            "moves the crossover"
+            if args.virtual or jax.devices()[0].platform == "cpu"
+            else "real device mesh"
+        ),
     }
     print(json.dumps(out))
-    if not equal:
-        print("MISMATCH:", act_u, act_s, file=sys.stderr)
-        sys.exit(1)
+    with open(args.out, "w") as f:
+        f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":

@@ -56,6 +56,12 @@ def main(argv) -> None:
             seed_offset = int(a.split("=", 1)[1])
         elif a.startswith("out="):
             out = a.split("=", 1)[1]
+        elif a == "platform=cpu":
+            # JAX_PLATFORMS is ignored by this image's TPU plugin; force CPU
+            # the way tests/conftest.py does
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         elif a in ("-cn", "--config-name"):
             config_name = argv[i + 1]
             i += 1
@@ -84,11 +90,11 @@ def main(argv) -> None:
     # visible device.  Logs are tick-identical to the serial path at the
     # same chunk (tests/test_batch_loop.py).
     if parallel_seeds.lower() in ("true", "1", "shard"):
-        if is_panda or wants_domain_noise or reactive_perturb:
+        if wants_domain_noise or reactive_perturb:
             sys.exit(
-                "parallel_seeds covers the point/albert families without "
-                "domain noise or scripted perturbation (per-seed scene "
-                "rebuilds / mid-run host interventions need the serial path)"
+                "parallel_seeds covers batches without domain noise or "
+                "scripted perturbation (per-seed scene rebuilds / mid-run "
+                "host interventions need the serial path)"
             )
         from m3p2i_aip_tpu.tamp.batch_loop import BatchSimLoop
 
@@ -99,13 +105,19 @@ def main(argv) -> None:
         )
         batch.warmup(20)
         logs = batch.run_chunked(cfg.n_steps, chunk=chunked or 10)
+        if is_panda:
+            # reference protocol: rows log the RELEASED, settled cube
+            # (SimLoop.settle rationale) — one batched settle dispatch
+            batch.settle(150)
         logger = RunLogger(out)
         successes = 0
         for run, log in enumerate(logs):
             ok = log.success_step is not None
             successes += int(ok)
             view = batch.views[run]
-            if is_albert:
+            if is_panda:
+                logger.add(finalize_panda_row(view))
+            elif is_albert:
                 logger.add(
                     finalize_albert_row(log, view, cfg.goal, dt=cfg.sim.dt)
                 )

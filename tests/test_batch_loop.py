@@ -101,6 +101,75 @@ def test_batched_seed_freeze_on_early_success():
 
 
 @pytest.mark.slow
+def test_batched_panda_matches_serial():
+    """Panda batch path (vmapped _run_chunk_panda_impl): stage progression
+    and final views must match B serial SimLoop.run_chunked runs — the
+    on-device AIF gate, zup stall carry and done-freeze all ride the vmap."""
+    ovr = [
+        "mppi.num_samples=16",
+        "mppi.horizon=6",
+        "multi_modal=False",
+    ]
+    seeds = [0, 1]
+    steps, chunk = 24, 8
+
+    cfg = load_config("config_panda", ovr)
+    serial_logs, serial_views = [], []
+    loop = None
+    for s in seeds:
+        cfg.mppi.seed_val = s
+        if loop is None:
+            loop = SimLoop(cfg)
+        else:
+            loop.reset(s)
+        loop.warmup(10)
+        serial_logs.append(loop.run_chunked(steps, chunk=chunk))
+        serial_views.append(loop._view)
+
+    cfg = load_config("config_panda", ovr)
+    batch = BatchSimLoop(cfg, seeds)
+    batch.warmup(10)
+    batch_logs = batch.run_chunked(steps, chunk=chunk)
+
+    for b in range(len(seeds)):
+        sl, bl = serial_logs[b], batch_logs[b]
+        assert bl.steps == sl.steps, f"seed {b}"
+        assert bl.success_step == sl.success_step, f"seed {b}"
+        assert bl.task == sl.task, f"seed {b}: stage sequences diverged"
+        for key in ("cube_state", "ee_state"):
+            np.testing.assert_allclose(
+                np.asarray(batch.views[b][key]),
+                np.asarray(serial_views[b][key]),
+                atol=1e-4,
+                err_msg=f"seed {b} {key}",
+            )
+    # different seeds must produce genuinely different ee trajectories
+    assert not np.allclose(
+        np.asarray(batch.views[0]["ee_state"]),
+        np.asarray(batch.views[1]["ee_state"]),
+    )
+
+
+@pytest.mark.slow
+def test_batch_reset_revalidates_shard_divisibility():
+    """reset(seeds) with a batch size that no longer divides the seed mesh
+    must fail loudly at reset time, not with an opaque device_put error at
+    warmup (ADVICE round 3)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device virtual mesh")
+    n = len(jax.devices())
+    cfg = load_config(
+        "config_point",
+        ["task=navigation", "mppi.num_samples=32", "mppi.horizon=8"],
+    )
+    batch = BatchSimLoop(cfg, list(range(n)), shard=True)
+    with pytest.raises(ValueError, match="must divide"):
+        batch.reset(list(range(n + 1)))
+
+
+@pytest.mark.slow
 def test_batched_sharded_over_seed_mesh():
     """shard=True lays the seed axis over the 8-device virtual mesh; logs
     must match the unsharded batched run."""

@@ -374,6 +374,163 @@ def test_panda_rollout_interpret_matches_xla_cpu():
         ), i
 
 
+@_skip_on_tpu
+def test_multimodal_weights_vmap_matches_serial():
+    """jax.vmap of the fused weights kernel must equal B serial kernel calls
+    (the custom_vmap rule dispatches one grid=(B,) program — this is what the
+    vmapped multi-seed runner hits, tamp/batch_loop.py)."""
+    from m3p2i_aip_tpu.ops.pallas_kernels import multimodal_weights_pallas
+
+    _, tamp = _build_tamp()
+    mp = tamp.motion_planner
+    rng = np.random.default_rng(3)
+    B = 3
+    ch = jnp.asarray(rng.uniform(0, 50, size=(B, mp.K, mp.T)).astype(np.float32))
+
+    def one(c):
+        return multimodal_weights_pallas(
+            c, mp.gamma_seq, mp.half_K, 10.0, 3.0, interpret=True
+        )
+
+    got = jax.jit(jax.vmap(one))(ch)
+    for b in range(B):
+        ref = one(ch[b])
+        for r, g in zip(ref, got):
+            assert np.allclose(np.asarray(r), np.asarray(g[b]), atol=1e-6), b
+
+
+@_skip_on_tpu
+def test_point_rollout_vmap_matches_serial():
+    """jax.vmap of the fused point rollout == B serial kernel rollouts with
+    DIFFERENT per-batch start states and task goals (the SmemRowView task
+    indirection is what's under test).  Interpret mode, reduced physics."""
+    from m3p2i_aip_tpu.ops.pallas_rollout import make_point_rollout
+    from m3p2i_aip_tpu.planners.motion_planner.mppi import TaskParams
+
+    cfg, tamp = _build_tamp(K=16, T=4)
+    mp = tamp.motion_planner
+    full = tamp.env.params
+    red = full.replace(
+        substeps=1,
+        pos_iters=1,
+        stat_pos=full.stat_pos[:2],
+        stat_yaw=full.stat_yaw[:2],
+        stat_half=full.stat_half[:2],
+        stat_friction=full.stat_friction[:2],
+        stat_actor_idx=full.stat_actor_idx[:2],
+    )
+    ov = make_point_rollout(
+        red, float(cfg.kp_suction), mp.K, mp.T, True, interpret=True
+    )
+    assert ov is not None
+
+    K, T = mp.K, mp.T
+    rng = np.random.default_rng(0)
+    B = 2
+    starts = [
+        (jnp.asarray([-0.3, 1.4]), jnp.asarray([0.5, 0.5])),
+        (jnp.asarray([-0.05, 1.75]), jnp.asarray([0.0, 2.0])),
+    ]
+    goals = [jnp.asarray([-3.75, -3.75]), jnp.asarray([2.0, 1.0])]
+    task_ids = [3, 1]  # push_pull vs push: per-batch task ids differ too
+
+    sKs, tps_in, acts_in = [], [], []
+    for b in range(B):
+        state = tamp.env.init_state().replace(q=starts[b][0], qd=starts[b][1])
+        sKs.append(
+            jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (K,) + x.shape), state
+            )
+        )
+        tps_in.append(
+            TaskParams(
+                task_id=jnp.asarray(task_ids[b], jnp.int32),
+                goal=jnp.concatenate([goals[b], jnp.zeros(5)]).astype(jnp.float32),
+                gripper=jnp.asarray(0, jnp.int32),
+                zup_gate=jnp.asarray(0.0, jnp.float32),
+            )
+        )
+        acts_in.append(
+            jnp.asarray(rng.uniform(-3, 3, size=(K, T, 2)).astype(np.float32))
+        )
+
+    stack = lambda xs: jax.tree_util.tree_map(lambda *l: jnp.stack(l), *xs)
+    ch_b, tps_b = jax.jit(jax.vmap(lambda s, a, t: ov(s, a, t)))(
+        stack(sKs), jnp.stack(acts_in), stack(tps_in)
+    )
+    for b in range(B):
+        ch_s, tps_s = jax.jit(lambda s, a, t: ov(s, a, t))(
+            sKs[b], acts_in[b], tps_in[b]
+        )
+        assert np.allclose(np.asarray(ch_s), np.asarray(ch_b[b]), atol=1e-5), b
+        assert np.allclose(np.asarray(tps_s), np.asarray(tps_b[b]), atol=1e-5), b
+
+
+@_skip_on_tpu
+@pytest.mark.slow
+def test_panda_rollout_vmap_matches_serial():
+    """jax.vmap of the fused panda rollout == B serial kernel rollouts
+    (different task stages + zup gates per batch element)."""
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.ops.pallas_panda_rollout import make_panda_rollout
+    from m3p2i_aip_tpu.planners.motion_planner.mppi import TaskParams
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_panda",
+        ["mppi.num_samples=8", "mppi.horizon=4", "multi_modal=True"],
+    )
+    tamp = ReactiveTAMP(cfg)
+    mp = tamp.motion_planner
+    red = tamp.env.params
+    ov = make_panda_rollout(red, cfg, mp.K, mp.T, True, interpret=True)
+    assert ov is not None
+
+    K, T = mp.K, mp.T
+    rng = np.random.default_rng(1)
+    base = tamp.env.init_state()
+    goal_q = jnp.asarray([0.0, 0.0, 0.383, 0.924])
+    pick_goal = jnp.concatenate([jnp.asarray([0.4, 0.3, 1.3]), goal_q])
+    attached = base.replace(
+        attached=jnp.asarray(1.0),
+        attach_pos=jnp.asarray([0.0, 0.0, 0.08]),
+        attach_rot=jnp.eye(3),
+    )
+
+    def tp(task_id, goal, gripper, zup):
+        return TaskParams(
+            task_id=jnp.asarray(task_id, jnp.int32),
+            goal=goal.astype(jnp.float32),
+            gripper=jnp.asarray(gripper, jnp.int32),
+            zup_gate=jnp.asarray(zup, jnp.float32),
+        )
+
+    states = [base, attached]
+    tasks = [tp(4, jnp.zeros(7), 0, 0.0), tp(5, pick_goal, 2, 1.0)]
+    B = 2
+    sKs = [
+        jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (K,) + x.shape), s
+        )
+        for s in states
+    ]
+    acts_in = [
+        jnp.asarray(rng.uniform(-1.5, 1.5, size=(K, T, 9)).astype(np.float32))
+        for _ in range(B)
+    ]
+
+    stack = lambda xs: jax.tree_util.tree_map(lambda *l: jnp.stack(l), *xs)
+    ch_b, tps_b = jax.jit(jax.vmap(lambda s, a, t: ov(s, a, t)))(
+        stack(sKs), jnp.stack(acts_in), stack(tasks)
+    )
+    for b in range(B):
+        ch_s, tps_s = jax.jit(lambda s, a, t: ov(s, a, t))(
+            sKs[b], acts_in[b], tasks[b]
+        )
+        assert np.allclose(np.asarray(ch_s), np.asarray(ch_b[b]), atol=1e-5), b
+        assert np.allclose(np.asarray(tps_s), np.asarray(tps_b[b]), atol=1e-5), b
+
+
 @pytest.mark.skipif(not pallas_available(), reason="needs a TPU backend")
 def test_panda_fused_rollout_matches_xla_tpu():
     """Panda kernel vs XLA rollout on real TPU (looser tolerances: TPU f32
