@@ -167,18 +167,20 @@ def _build_mmw(K: int, T: int, half_K: int, eta_u: float, eta_l: float,
         cost_horizon = bc(cost_horizon, in_batched[0])
         gamma_seq = bc(gamma_seq, in_batched[1])
         cost_p, gamma_p = jax.vmap(_pack)(cost_horizon, gamma_seq)
+        # batch as a LEADING SQUEEZED block dim (None): kernel refs keep
+        # their single-program shapes and the last-two block dims stay full
+        # (Mosaic's 8/128-divisible-or-full constraint — see pallas_rollout)
         out = pl.pallas_call(
             weights_kernel,
             grid=(B,),
-            out_shape=jax.ShapeDtypeStruct((B * 3, Kp), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, 3, Kp), jnp.float32),
             in_specs=[
-                pl.BlockSpec((Tp, Kp), lambda b: (b, 0)),
-                pl.BlockSpec((Tp, 1), lambda b: (b, 0)),
+                pl.BlockSpec((None, Tp, Kp), lambda b: (b, 0, 0)),
+                pl.BlockSpec((None, Tp, 1), lambda b: (b, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((3, Kp), lambda b: (b, 0)),
+            out_specs=pl.BlockSpec((None, 3, Kp), lambda b: (b, 0, 0)),
             interpret=interpret,
-        )(cost_p.reshape(B * Tp, Kp), gamma_p.reshape(B * Tp, 1))
-        out = out.reshape(B, 3, Kp)
+        )(cost_p, gamma_p)
         return (out[:, 0, :K], out[:, 1, :K], out[:, 2, :K]), (True, True, True)
 
     return mmw

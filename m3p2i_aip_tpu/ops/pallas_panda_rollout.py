@@ -843,24 +843,28 @@ def make_panda_rollout(
                     SmemRowView(task_ref, pl.program_id(0)), *refs, P=P
                 )
 
+            # batch as a LEADING SQUEEZED block dim (None): kernel refs keep
+            # their single-program shapes; last-two block dims stay full
+            # (Mosaic's 8/128-divisible-or-full constraint — see
+            # pallas_rollout.py)
             _bcalls[key] = (
                 pl.pallas_call(
                     panda_rollout_kernel_batched,
                     grid=(B,),
                     out_shape=(
-                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
-                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
-                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B, T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B, T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B, T, Kp), jnp.float32),
                     ),
                     in_specs=[
                         pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec((T, 9, Kp), lambda b: (b, 0, 0)),
-                        pl.BlockSpec((_N_ROWS, Kp), lambda b: (b, 0)),
+                        pl.BlockSpec((None, T, 9, Kp), lambda b: (b, 0, 0, 0)),
+                        pl.BlockSpec((None, _N_ROWS, Kp), lambda b: (b, 0, 0)),
                     ],
                     out_specs=(
-                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
-                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
-                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
+                        pl.BlockSpec((None, T, Kp), lambda b: (b, 0, 0)),
+                        pl.BlockSpec((None, T, Kp), lambda b: (b, 0, 0)),
+                        pl.BlockSpec((None, T, Kp), lambda b: (b, 0, 0)),
                     ),
                     interpret=interpret,
                 ),
@@ -891,12 +895,7 @@ def make_panda_rollout(
         tv, ap, sp = jax.vmap(lambda s, a, t: _pack(s, a, t, zero, Kp))(
             sim_state_k, acts, task
         )
-        cost, tx, ty = call(
-            tv, ap.reshape(B * T, 9, Kp), sp.reshape(B * _N_ROWS, Kp)
-        )
-        cost = cost.reshape(B, T, Kp)
-        tx = tx.reshape(B, T, Kp)
-        ty = ty.reshape(B, T, Kp)
+        cost, tx, ty = call(tv, ap, sp)  # [B, T, Kp] each
         ch, tps = jax.vmap(lambda c, x, y: _unpack(c, x, y, K_loc))(cost, tx, ty)
         return (ch, tps), (True, True)
 

@@ -780,24 +780,29 @@ def make_point_rollout(
                     SmemRowView(task_ref, pl.program_id(0)), *refs, P=P
                 )
 
+            # The batch is a LEADING SQUEEZED block dim (None): the kernel
+            # refs keep their exact single-program shapes, and the block's
+            # last two dims equal the array's (Mosaic requires last-two dims
+            # 8/128-divisible OR full — T=15 blocks of a [B*T, Kp] layout
+            # fail that on real TPU; interpret mode is laxer)
             _bcalls[key] = (
                 pl.pallas_call(
                     point_rollout_kernel_batched,
                     grid=(B,),
                     out_shape=(
-                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
-                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
-                        jax.ShapeDtypeStruct((B * T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B, T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B, T, Kp), jnp.float32),
+                        jax.ShapeDtypeStruct((B, T, Kp), jnp.float32),
                     ),
                     in_specs=[
                         pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec((T, n_u, Kp), lambda b: (b, 0, 0)),
-                        pl.BlockSpec((n_rows, Kp), lambda b: (b, 0)),
+                        pl.BlockSpec((None, T, n_u, Kp), lambda b: (b, 0, 0, 0)),
+                        pl.BlockSpec((None, n_rows, Kp), lambda b: (b, 0, 0)),
                     ],
                     out_specs=(
-                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
-                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
-                        pl.BlockSpec((T, Kp), lambda b: (b, 0)),
+                        pl.BlockSpec((None, T, Kp), lambda b: (b, 0, 0)),
+                        pl.BlockSpec((None, T, Kp), lambda b: (b, 0, 0)),
+                        pl.BlockSpec((None, T, Kp), lambda b: (b, 0, 0)),
                     ),
                     interpret=interpret,
                 ),
@@ -828,13 +833,7 @@ def make_point_rollout(
         tv, ap, sp = jax.vmap(lambda s, a, t: _pack(s, a, t, zero, Kp))(
             sim_state_k, acts, task
         )
-        n_u = P["n_u"]
-        cost, tx, ty = call(
-            tv, ap.reshape(B * T, n_u, Kp), sp.reshape(B * n_rows, Kp)
-        )
-        cost = cost.reshape(B, T, Kp)
-        tx = tx.reshape(B, T, Kp)
-        ty = ty.reshape(B, T, Kp)
+        cost, tx, ty = call(tv, ap, sp)  # [B, T, Kp] each
         ch, tps = jax.vmap(lambda c, x, y: _unpack(c, x, y, K_loc))(cost, tx, ty)
         return (ch, tps), (True, True)
 
