@@ -44,6 +44,13 @@ class PointEnvState:
     dyn_vel: jnp.ndarray  # [D, 2]
     dyn_om: jnp.ndarray  # [D]
     contact_force: jnp.ndarray  # [A, 3] net contact force per actor
+    # Per-state friction multiplier on the dynamic actors' material friction
+    # (ones = nominal).  A TRACED leaf so the K vmapped rollout states can
+    # each carry a DIFFERENT friction — the reference draws fresh friction
+    # noise per env at creation, i.e. its K rollout envs physics-differ
+    # (isaacgym_wrapper.py:311-326); MPPI draws these per reseed when the
+    # actor YAML sets noise_percentage_friction > 0.
+    fric_scale: jnp.ndarray = struct.field(default=None)  # [D]
 
 
 @struct.dataclass
@@ -101,6 +108,9 @@ class PointEnvParams:
     robot_actor_idx: int = struct.field(pytree_node=False, default=0)
     num_actors: int = struct.field(pytree_node=False, default=0)
     init_root: jnp.ndarray = struct.field(default=None)  # [A, 13]
+    # per-dyn-actor noise_percentage_friction from the actor YAMLs — the
+    # per-SAMPLE randomization amplitude (MPPI draws fric_scale per reseed)
+    dyn_fric_noise: jnp.ndarray = struct.field(default=None)  # [D]
 
 
 def build_params(
@@ -117,6 +127,7 @@ def build_params(
     (isaacgym_wrapper.py:311-326) and box sizes by normal(0, noise_sigma_size)
     (actor_utils.py:64-69)."""
     stat, dyn, dyn_idx, stat_idx = [], [], [], []
+    dyn_fric_noise = []
     robot_idx, robot_cfg = 0, None
     init_root = np.zeros((len(actors), 13), dtype=np.float32)
     init_root[:, 6] = 1.0  # identity quat w
@@ -164,6 +175,7 @@ def build_params(
                     )
                 )
                 dyn_idx.append(i)
+                dyn_fric_noise.append(float(a.noise_percentage_friction or 0.0))
     stat = np.asarray(stat, dtype=np.float32).reshape(-1, 6)
     dyn = np.asarray(dyn, dtype=np.float32).reshape(-1, 7)
     half = dyn[:, 2:4]
@@ -234,6 +246,7 @@ def build_params(
         robot_actor_idx=robot_idx,
         num_actors=len(actors),
         init_root=jnp.asarray(init_root),
+        dyn_fric_noise=jnp.asarray(np.asarray(dyn_fric_noise, np.float32)),
     )
 
 
@@ -257,6 +270,7 @@ def init_state(params: PointEnvParams) -> PointEnvState:
         dyn_vel=jnp.zeros((D, 2)),
         dyn_om=jnp.zeros(D),
         contact_force=jnp.zeros((params.num_actors, 3)),
+        fric_scale=jnp.ones(D),
     )
 
 
@@ -302,6 +316,14 @@ def step(
     wm_r = 1.0 / params.robot_mass
     decay = float(np.exp(-params.drive_rate * params.dt / params.substeps))
 
+    # per-state friction (domain randomization: state.fric_scale is ones
+    # nominally; the K rollout states may each carry a different draw).
+    # Ground combine recomputed from the scaled material (PhysX average vs
+    # the plane's 1.0) — bit-identical to the precomputed dyn_mu_ground
+    # when fric_scale is ones.
+    fric = params.dyn_friction * state.fric_scale
+    mu_ground = (fric + 1.0) * 0.5
+
     def pad3(f):
         return jnp.concatenate([f, jnp.zeros(f.shape[:-1] + (1,))], axis=-1)
 
@@ -332,7 +354,7 @@ def step(
         qd = qd.at[:2].multiply(qcap)
         dvel = dvel + ext.dyn * (params.dyn_inv_mass[:, None] * h)
         dvel, dom = pbd2d.ground_friction(
-            dvel, dom, params.dyn_mu_ground, GRAVITY, h,
+            dvel, dom, mu_ground, GRAVITY, h,
             jnp.mean(params.dyn_half, axis=-1),
         )
         speed = jnp.linalg.norm(dvel, axis=-1, keepdims=True)
@@ -355,7 +377,7 @@ def step(
                 jnp.broadcast_to(qd[:2], (D, 2)), jnp.zeros(D), wm_r, 0.0,
                 dpos, dyaw, dvel, dom,
                 params.dyn_inv_mass, params.dyn_inv_inertia,
-                h, friction=(params.robot_friction + params.dyn_friction) / 2,
+                h, friction=(params.robot_friction + fric) / 2,
                 relax=1.0,
             )
             q = q.at[:2].add(out[0].sum(0))
@@ -395,8 +417,7 @@ def step(
                             params.dyn_inv_mass[j],
                             params.dyn_inv_inertia[j],
                             h,
-                            friction=(params.dyn_friction[i]
-                                      + params.dyn_friction[j]) / 2,
+                            friction=(fric[i] + fric[j]) / 2,
                             relax=0.5,
                         )
                         ddpos = ddpos.at[i].add(out[0].sum(0)).at[j].add(out[4].sum(0))
@@ -429,7 +450,7 @@ def step(
                 params.stat_pos[None, :, None, :], params.stat_yaw[None, :, None],
                 jnp.zeros((1, S, 1, 2)), jnp.zeros((1, S, 1)), 0.0, 0.0,
                 h,
-                friction=(params.dyn_friction[:, None, None]
+                friction=(fric[:, None, None]
                           + params.stat_friction[None, :, None]) / 2,
                 relax=relax_ds,
             )

@@ -189,7 +189,8 @@ def _corner_pens(cx, cy, cc, cs, hxa, hya, bx, by, bc, bs, hxb, hyb):
 def _rollout_kernel(
     task_ref,  # SMEM [4]: task_id, goal_x, goal_y, k0 (global sample offset)
     acts_ref,  # VMEM [T, n_u, Kp]
-    state_ref,  # VMEM [2*n_q + 6D, Kp], dyn rows grouped BY FIELD (x*D, y*D, ...)
+    state_ref,  # VMEM [2*n_q + 7D, Kp]: dyn rows grouped BY FIELD
+    #             (x*D, y*D, yaw*D, vx*D, vy*D, om*D, fric_scale*D)
     cost_ref,  # VMEM out [T, Kp]
     trajx_ref,  # VMEM out [T, Kp]
     trajy_ref,  # VMEM out [T, Kp]
@@ -247,11 +248,9 @@ def _rollout_kernel(
 
     inv_mass_d = const_col(P["inv_mass"])  # [D,1]
     inv_inertia_d = const_col(P["inv_inertia"])
-    mu_g_d = const_col(P["mu_g"])
     ang_rad_d = const_col(P["ang_rad"])
     half_x_d = const_col([hv[0] for hv in P["half"]])
     half_y_d = const_col([hv[1] for hv in P["half"]])
-    fric_d = const_col(P["friction"])
     stat_x = const_col([sv[0] for sv in P["stat"]])  # [S,1]
     stat_y = const_col([sv[1] for sv in P["stat"]])
     stat_c = const_col([np.cos(sv[2]) for sv in P["stat"]])
@@ -274,6 +273,13 @@ def _rollout_kernel(
         return state_ref[base + f * D : base + (f + 1) * D, :]
 
     X, Y, YAW, VX, VY, OM = (field(f) for f in range(6))
+
+    # per-SAMPLE friction: base material x the state's fric_scale rows
+    # (domain randomization — point_env.step's `fric`/`mu_ground` twin;
+    # scale rows are ones when randomization is off, so this is the same
+    # [D, *] broadcastable operand the constant kernel used)
+    fric_d = const_col(P["friction"]) * field(6)  # [D, Kp]
+    mu_g_d = (fric_d + 1.0) * 0.5
 
     # suction ext-force carry (pull cost -> next step), zero at t=0
     ext_rx = jnp.zeros((1, Kp), jnp.float32)
@@ -404,7 +410,7 @@ def _rollout_kernel(
                                 P["inv_mass"][i], P["inv_inertia"][i],
                                 X0, Y0, VX0, VY0, OM0,
                                 inv_mass_d, inv_inertia_d,
-                                h, (P["friction"][i] + fric_d) / 2, 0.5,
+                                h, (fric_d[i : i + 1, :] + fric_d) / 2, 0.5,
                             )
                             dAx, dAy, dAyaw = dAx + subsum(out[0]), dAy + subsum(out[1]), dAyaw + subsum(out[2])
                             dAvx, dAvy, dAom = dAvx + subsum(out[3]), dAvy + subsum(out[4]), dAom + subsum(out[5])
@@ -449,7 +455,7 @@ def _rollout_kernel(
                             x, y, vx, vy, om,
                             P["inv_mass"][i], P["inv_inertia"][i],
                             stat_x, stat_y, 0.0, 0.0, 0.0, 0.0, 0.0,
-                            h, (P["friction"][i] + stat_fric) / 2, relax,
+                            h, (fric_d[i : i + 1, :] + stat_fric) / 2, relax,
                         )
                         ddx, ddy, ddyaw = ddx + subsum(out[0]), ddy + subsum(out[1]), ddyaw + subsum(out[2])
                         ddvx, ddvy, ddom = ddvx + subsum(out[3]), ddvy + subsum(out[4]), ddom + subsum(out[5])
@@ -657,7 +663,6 @@ def make_point_rollout(
         half=[(float(half[i, 0]), float(half[i, 1])) for i in range(D)],
         inv_mass=[float(x) for x in np.asarray(env_params.dyn_inv_mass)],
         inv_inertia=[float(x) for x in np.asarray(env_params.dyn_inv_inertia)],
-        mu_g=[float(x) for x in np.asarray(env_params.dyn_mu_ground)],
         ang_rad=[float(x) for x in np.mean(half, axis=-1)],
         friction=[float(x) for x in np.asarray(env_params.dyn_friction)],
         stat=[(float(stat_pos[i, 0]), float(stat_pos[i, 1]), float(stat_yaw[i])) for i in range(S)],
@@ -715,11 +720,12 @@ def make_point_rollout(
             )
         return _calls[K_loc]
 
-    n_rows = 2 * P["n_q"] + 6 * D
+    n_rows = 2 * P["n_q"] + 7 * D  # +D: per-sample fric_scale rows
 
     def _pack(sim_state_k, acts, task, k0v, Kp):
         """(task_vec [4], acts_p [T, n_u, Kp], state_packed [n_rows, Kp])."""
-        # single start state (all K identical by construction)
+        # single start state (all K identical by construction — EXCEPT the
+        # per-sample fric_scale domain-randomization rows, packed below)
         s0 = jax.tree_util.tree_map(lambda x: x[0], sim_state_k)
         n_q, n_u = P["n_q"], P["n_u"]
         K_loc = acts.shape[0]
@@ -733,8 +739,13 @@ def make_point_rollout(
         rows += [s0.dyn_vel[i, 1] for i in range(D)]
         rows += [s0.dyn_om[i] for i in range(D)]
         state_packed = jnp.broadcast_to(
-            jnp.stack(rows)[:, None], (n_rows, Kp)
+            jnp.stack(rows)[:, None], (n_rows - D, Kp)
         ).astype(jnp.float32)
+        # per-sample friction scale [K_loc, D] -> [D, Kp] rows (pad lanes 1.0)
+        fs_rows = jnp.ones((D, Kp), jnp.float32).at[:, :K_loc].set(
+            jnp.swapaxes(sim_state_k.fric_scale.astype(jnp.float32), 0, 1)
+        )
+        state_packed = jnp.concatenate([state_packed, fs_rows], axis=0)
 
         acts_t = jnp.swapaxes(acts, 0, 1)  # [T, K_loc, nu]
         acts_p = jnp.zeros((T, n_u, Kp), jnp.float32)

@@ -186,6 +186,12 @@ class MPPIState:
     # batch wall time; the persistent cache can't help when the program
     # itself changes).
     halton_delta: jnp.ndarray = None
+    # Per-sample domain-randomization friction scales [K, D] (ones when the
+    # actor YAMLs set no noise_percentage_friction).  Traced for the same
+    # reason as halton_delta; drawn per reseed so each of the K rollout
+    # "envs" keeps a distinct friction for the whole run — the reference's
+    # per-env creation-time draw (isaacgym_wrapper.py:311-326).
+    fric_scale_k: jnp.ndarray = None
 
 
 class MPPI:
@@ -207,6 +213,8 @@ class MPPI:
         zero_ext: Callable,
         traj_point: Optional[Callable] = None,
         state_vector: Optional[Callable] = None,
+        fric_noise=None,
+        fric_inject: Optional[Callable] = None,
     ):
         self.env_type = cfg.env_type
         self.multi_modal = bool(cfg.multi_modal)
@@ -300,6 +308,14 @@ class MPPI:
         self.zero_ext = zero_ext
         self.traj_point = traj_point
         self.state_vector = state_vector
+        # Per-sample friction domain randomization (isaacgym_wrapper.py:313-319
+        # parity): ``fric_noise`` [D] = per-dyn-actor noise percentage from
+        # the actor YAMLs; ``fric_inject(sim_state_k, fric_scale_k)`` writes
+        # the [K, D] scales into the broadcast rollout states (env-specific —
+        # the point family stores them in PointEnvState.fric_scale).
+        self.fric_noise = None if fric_noise is None else np.asarray(fric_noise)
+        self.fric_inject = fric_inject
+        self._fric_scale = jnp.asarray(self._make_fric_scales())
 
         from m3p2i_aip_tpu.ops.pallas_kernels import pallas_available
 
@@ -366,13 +382,27 @@ class MPPI:
         samples[-1] = 0.0  # zero-noise sequence so the mean is always sampled
         return samples
 
+    def _make_fric_scales(self) -> np.ndarray:
+        """[K, D] per-sample friction multipliers, 1 + U(-pct, pct) per
+        (sample, actor) — the per-env creation-time draw of the reference
+        (friction + uniform(+-pct * friction), isaacgym_wrapper.py:313-319),
+        expressed multiplicatively.  All ones when no actor sets noise."""
+        D = 0 if self.fric_noise is None else int(self.fric_noise.shape[0])
+        if D == 0 or not np.any(self.fric_noise):
+            return np.ones((self.K, max(D, 1)), dtype=np.float32)
+        rng = np.random.default_rng(self.seed_val + 7919)  # decorrelated
+        u = rng.uniform(-1.0, 1.0, size=(self.K, D)).astype(np.float32)
+        return 1.0 + u * self.fric_noise[None, :].astype(np.float32)
+
     def reseed(self, seed_val: int) -> None:
-        """Re-seed the sampler WITHOUT retracing: the Halton deltas and the
-        PRNG key live in MPPIState (traced data), so a fresh
-        ``init_state()`` after this reuses the compiled program — one XLA
-        compile serves a whole seeded experiment batch."""
+        """Re-seed the sampler WITHOUT retracing: the Halton deltas, the
+        domain-randomization scales and the PRNG key live in MPPIState
+        (traced data), so a fresh ``init_state()`` after this reuses the
+        compiled program — one XLA compile serves a whole seeded experiment
+        batch."""
         self.seed_val = int(seed_val)
         self._delta = jnp.asarray(self._make_halton_spline_deltas())
+        self._fric_scale = jnp.asarray(self._make_fric_scales())
 
     def init_state(self, rng: Optional[jax.Array] = None) -> MPPIState:
         z = jnp.zeros((self.T, self.nu), dtype=jnp.float32)
@@ -409,6 +439,7 @@ class MPPI:
             ),
             rng=rng,
             halton_delta=self._delta,
+            fric_scale_k=self._fric_scale,
         )
 
     # --------------------------------------------------------------- helpers
@@ -651,6 +682,10 @@ class MPPI:
         sim_state_k = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (self.K,) + x.shape), sim_state
         )
+        if self.fric_inject is not None:
+            # per-sample domain randomization: overwrite the broadcast
+            # friction scales with this seed's [K, D] draws (traced data)
+            sim_state_k = self.fric_inject(sim_state_k, state.fric_scale_k)
 
         if self.mppi_mode == "simple":
             state, action, tps = self._command_simple(state, sim_state_k, task)

@@ -99,12 +99,26 @@ class ReactiveTAMP:
         self.task_planner = build_task_planner(cfg, self.env, self.objective)
         self.task_success = False
 
+        # Per-sample friction randomization (point family): activates when an
+        # actor YAML sets noise_percentage_friction > 0 — each of the K
+        # rollout states then carries its own friction draw, the reference's
+        # per-env creation-time noise (isaacgym_wrapper.py:313-319)
+        fric_kwargs = {}
+        if self.env.env_type == "point_env":
+            noise = np.asarray(self.env.params.dyn_fric_noise)
+            if noise.size and np.any(noise):
+                fric_kwargs = dict(
+                    fric_noise=noise,
+                    fric_inject=lambda sk, fs: sk.replace(fric_scale=fs),
+                )
+
         self.motion_planner = M3P2I(
             cfg,
             dynamics=self.env.step,
             running_cost=self.objective.compute,
             zero_ext=self.env.zero_ext,
             traj_point=self.env.traj_point,
+            **fric_kwargs,
         )
         if self.env.env_type == "point_env" and self.motion_planner.use_pallas:
             from m3p2i_aip_tpu.ops.pallas_rollout import make_point_rollout

@@ -467,6 +467,76 @@ def test_point_rollout_vmap_matches_serial():
 
 
 @_skip_on_tpu
+def test_point_rollout_interpret_fric_scale_parity():
+    """Kernel vs XLA with per-sample friction randomization live: the
+    fric_scale state rows must steer the kernel's contact/ground friction
+    exactly like PointEnvState.fric_scale steers point_env.step."""
+    from m3p2i_aip_tpu.models import point_env
+    from m3p2i_aip_tpu.ops.pallas_rollout import make_point_rollout
+    from m3p2i_aip_tpu.planners.motion_planner.cost_functions import (
+        PointObjective,
+    )
+
+    cfg, tamp = _build_tamp(K=16, T=4)
+    mp = tamp.motion_planner
+    full = tamp.env.params
+    red = full.replace(
+        substeps=1,
+        pos_iters=1,
+        stat_pos=full.stat_pos[:2],
+        stat_yaw=full.stat_yaw[:2],
+        stat_half=full.stat_half[:2],
+        stat_friction=full.stat_friction[:2],
+        stat_actor_idx=full.stat_actor_idx[:2],
+    )
+    ov = make_point_rollout(
+        red, float(cfg.kp_suction), mp.K, mp.T, True, interpret=True
+    )
+    K, T = mp.K, mp.T
+    obj = PointObjective(red, cfg)
+    mode = (jnp.arange(K) >= K // 2).astype(jnp.int32)
+    rng = np.random.default_rng(7)
+    D = red.dyn_half.shape[0]
+    fs = jnp.asarray(rng.uniform(0.5, 1.5, size=(K, D)).astype(np.float32))
+
+    # pressed against the box, pushing: contact friction is live every step
+    state = tamp.env.init_state().replace(
+        q=jnp.asarray([0.0, 1.55]), qd=jnp.asarray([0.0, 2.0])
+    )
+    tp = tamp.tamp_interface(state)
+    sK = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), state
+    )
+    sK = sK.replace(fric_scale=fs)
+    acts = jnp.asarray(rng.uniform(-3, 3, size=(K, T, 2)).astype(np.float32))
+
+    def _xla_rollout(state_k, a):
+        ext0 = jax.vmap(lambda _: point_env.zero_ext(red))(jnp.arange(K))
+
+        def step_t(carry, u_t):
+            s, ext = carry
+            s = jax.vmap(lambda st, u, e: point_env.step(red, st, u, e))(
+                s, u_t, ext
+            )
+            cost, ext = jax.vmap(obj.compute, in_axes=(0, 0, None, 0))(
+                s, u_t, tp, mode
+            )
+            return (s, ext), (cost, s.q[:, :2])
+
+        (_, _), (costs, tps) = jax.lax.scan(
+            step_t, (state_k, ext0), jnp.swapaxes(a, 0, 1)
+        )
+        return jnp.swapaxes(costs, 0, 1), jnp.swapaxes(tps, 0, 1)
+
+    ch_ref, tps_ref = jax.jit(_xla_rollout)(sK, acts)
+    ch_pl, tps_pl = jax.jit(lambda s, a: ov(s, a, tp))(sK, acts)
+    assert np.allclose(np.asarray(ch_ref), np.asarray(ch_pl), atol=1e-2)
+    assert np.allclose(np.asarray(tps_ref), np.asarray(tps_pl), atol=1e-3)
+    # and the randomization really bites: per-sample final costs differ
+    assert np.std(np.asarray(ch_pl[:, -1])) > 1e-6
+
+
+@_skip_on_tpu
 @pytest.mark.slow
 def test_panda_rollout_vmap_matches_serial():
     """jax.vmap of the fused panda rollout == B serial kernel rollouts
@@ -529,6 +599,50 @@ def test_panda_rollout_vmap_matches_serial():
         )
         assert np.allclose(np.asarray(ch_s), np.asarray(ch_b[b]), atol=1e-5), b
         assert np.allclose(np.asarray(tps_s), np.asarray(tps_b[b]), atol=1e-5), b
+
+
+@pytest.mark.skipif(not pallas_available(), reason="needs a TPU backend")
+def test_point_rollout_vmap_matches_serial_tpu():
+    """On-device Mosaic check of the grid=(B,) batched rollout: must be
+    BIT-EXACT vs the serial kernel (same kernel body, same data — only the
+    block plumbing differs)."""
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_point", ["task=push_pull", "multi_modal=True", "goal=[-3.75,-3.75]"]
+    )
+    tamp = ReactiveTAMP(cfg)
+    mp = tamp.motion_planner
+    ov = mp.rollout_override
+    assert ov is not None
+    K, T = mp.K, mp.T
+    rng = np.random.default_rng(0)
+    states = [
+        tamp.env.init_state().replace(q=jnp.asarray(q), qd=jnp.asarray(qd))
+        for q, qd in [([-0.3, 1.4], [0.5, 0.5]), ([-3.7, -3.7], [-2.0, -2.0])]
+    ]
+    tps = [tamp.tamp_interface(s) for s in states]
+    sKs = [
+        jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (K,) + x.shape), s
+        )
+        for s in states
+    ]
+    acts = [
+        jnp.asarray(rng.uniform(-3, 3, size=(K, T, 2)).astype(np.float32))
+        for _ in states
+    ]
+    stack = lambda xs: jax.tree_util.tree_map(lambda *l: jnp.stack(l), *xs)
+    ch_b, tps_b = jax.jit(jax.vmap(lambda s, a, t: ov(s, a, t)))(
+        stack(sKs), jnp.stack(acts), stack(tps)
+    )
+    for b in range(len(states)):
+        ch_s, tps_s = jax.jit(lambda s, a, t: ov(s, a, t))(
+            sKs[b], acts[b], tps[b]
+        )
+        assert np.array_equal(np.asarray(ch_s), np.asarray(ch_b[b])), b
+        assert np.array_equal(np.asarray(tps_s), np.asarray(tps_b[b])), b
 
 
 @pytest.mark.skipif(not pallas_available(), reason="needs a TPU backend")

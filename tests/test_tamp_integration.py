@@ -262,6 +262,62 @@ def test_domain_randomization_friction_and_size():
     assert abs(float(noised.dyn_friction[slot]) - 0.5) <= 0.3 * 0.5 + 1e-6
 
 
+def test_per_sample_friction_randomization():
+    """Per-rollout friction draws (VERDICT r3 #5 / isaacgym_wrapper.py:313-319):
+    with noise_percentage_friction set, each of the K rollout states carries
+    a DISTINCT friction scale, reseeding redraws them without a rebuild, and
+    identical push actions physically diverge across samples."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from m3p2i_aip_tpu.envs import _make_point_env
+    from m3p2i_aip_tpu.sim.sim_config import load_env_cfgs
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_point",
+        ["task=push", "goal=[-1,-1]", "mppi.num_samples=16", "mppi.horizon=8"],
+    )
+    actors = load_env_cfgs("point_env")
+    for a in actors:
+        if a.name == "box":
+            a.noise_percentage_friction = 0.5
+    env = _make_point_env(cfg, actors)
+    tamp = ReactiveTAMP(cfg, env=env)
+    mp = tamp.motion_planner
+    assert mp.fric_inject is not None
+
+    st = mp.init_state()
+    fs = np.asarray(st.fric_scale_k)  # [K, D]
+    slot = env.params.dyn_actor_idx.index(
+        list(env.params.actor_names).index("box")
+    )
+    assert len(np.unique(fs[:, slot])) == mp.K, "K rollouts share a friction"
+    assert np.all(np.abs(fs[:, slot] - 1.0) <= 0.5 + 1e-6)
+    mp.reseed(5)
+    assert not np.allclose(np.asarray(mp.init_state().fric_scale_k), fs)
+
+    # identical actions through box contact must diverge across samples
+    state = env.init_state().replace(q=jnp.asarray([0.0, 1.55]))  # at the box
+    task = tamp.tamp_interface(state)
+    sK = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (mp.K,) + x.shape), state
+    )
+    acts = jnp.broadcast_to(
+        jnp.asarray([0.0, 2.0]), (mp.K, mp.T, 2)
+    ).astype(jnp.float32)
+    rollout = jax.jit(lambda s, a: mp._rollout(s, a, task))
+    ch_rand, _ = rollout(mp.fric_inject(sK, jnp.asarray(fs)), acts)
+    ch_ones, _ = rollout(
+        mp.fric_inject(sK, jnp.ones_like(st.fric_scale_k)), acts
+    )
+    final_rand = np.asarray(ch_rand[:, -1])
+    final_ones = np.asarray(ch_ones[:, -1])
+    assert np.std(final_rand) > 1e-6, "friction draws did not affect physics"
+    assert np.std(final_ones) < 1e-6, "nominal scales must keep rollouts equal"
+
+
 def test_panda_device_gate_matches_host_planner():
     """The on-device AIF gate (ReactiveTAMP._panda_gate_device) must make the
     same reach/pick/place decisions as the host PLANNER_AIF_PANDA at every
