@@ -521,7 +521,7 @@ def _rollout_kernel(
         cos_theta = (r2bx * b2gx + r2by * b2gy) / jnp.maximum(d_rb * d_bg, 1e-9)
 
         nav = jnp.sqrt((qx - gx) ** 2 + (qy - gy) ** 2) + motion_cost
-        if rtype == "boxer":
+        if rtype == "boxer" and P["boxer_continuous_align"]:
             # continuous side alignment for the diff-drive base (see
             # PointObjective._push): gradient all the way around the box
             push_align = 1.5 * (1.0 + cos_theta)
@@ -615,6 +615,7 @@ def make_point_rollout(
     T: int,
     multi_modal: bool,
     interpret: bool = False,
+    boxer_continuous_align: bool = True,
 ):
     """Build the fused rollout callable for a point-robot scene.
 
@@ -678,6 +679,7 @@ def make_point_rollout(
         n_u=3 if env_params.robot_type == "heijn" else 2,
         wheel_radius=float(env_params.wheel_radius),
         wheel_base=float(env_params.wheel_base),
+        boxer_continuous_align=bool(boxer_continuous_align),
     )
     # pallas_call construction is memoized per LOCAL sample count so the same
     # rollout callable works unsharded (K_loc == K) and inside a shard_map

@@ -48,6 +48,11 @@ class PointObjective:
         self.kp_suction = float(cfg.kp_suction)
         # rollout suction gate 1/dist > 1.8 (skill_utils.py:79-82)
         self.suction_threshold = 1.8
+        # extension gate: continuous diff-drive push alignment (see _push);
+        # mppi=boxer_parity sets False to measure the reference formula
+        self.boxer_continuous_align = bool(
+            getattr(cfg.mppi, "boxer_continuous_align", True)
+        )
         names = list(params.actor_names)
         self.box_dyn_slot = params.dyn_actor_idx.index(names.index("box"))
         self.dynobs_actor = names.index("dyn-obs")
@@ -80,7 +85,7 @@ class PointObjective:
 
     def _push(self, state, goal):
         dist_cost, cos_theta, _, _ = self._dist_terms(state, goal)
-        if self.params.robot_type == "boxer":
+        if self.params.robot_type == "boxer" and self.boxer_continuous_align:
             # Continuous side alignment for the diff-drive base: the
             # reference's one-sided max(cos, 0) penalty is flat everywhere
             # except between box and goal, so a nonholonomic robot parked

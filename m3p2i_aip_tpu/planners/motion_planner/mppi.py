@@ -103,6 +103,18 @@ class MPPIConfig:
     seed_val: int = 0
     eta_u_bound: float = 10.0  # multi-modal eta upper bound (m3p2i.py:58-60)
     eta_l_bound: float = 3.0  # multi-modal eta lower bound
+    # Single-mode beta adaptation gate (parity-ablation knob).  None = auto:
+    # on for the panda (the reference's panda-only gate, mppi.py:446-454)
+    # AND the boxer (extension — the reference ships no boxer tasks; with
+    # fixed beta=1 the near-goal weights collapse to argmax and the
+    # nonholonomic base parks ~0.2 m out).  ``mppi=boxer_parity`` sets False
+    # to measure that divergence.
+    beta_adapt: Optional[bool] = None
+    # Continuous side-alignment push cost for the diff-drive base
+    # (extension over the reference's one-sided max(cos, 0) penalty,
+    # cost_functions.py:57-58 — see PointObjective._push).  False restores
+    # the reference formula for ablation; no effect on non-boxer robots.
+    boxer_continuous_align: bool = True
 
 
 @struct.dataclass
@@ -261,6 +273,12 @@ class MPPI:
         )
         self.fine_noise_scale = getattr(mcfg, "fine_noise_scale", 0.05)
         self.exploration_noise = float(getattr(mcfg, "exploration_noise", 0.05))
+        _ba = getattr(mcfg, "beta_adapt", None)
+        self.beta_adapt = (
+            self.env_type in ("panda_env", "boxer_env")
+            if _ba is None
+            else bool(_ba)
+        )
         # STORM-lineage constants (mppi.py:168-203)
         self.knot_scale = 4
         self.n_knots = self.T // self.knot_scale
@@ -532,11 +550,10 @@ class MPPI:
         exp_ = jnp.exp((-1.0 / beta) * total)
         eta = jnp.sum(exp_)
         weights = exp_ / eta
-        if self.env_type in ("panda_env", "boxer_env"):
+        if self.beta_adapt:
             # single-step beta adaptation, bounds 20/10 (mppi.py:446-454).
-            # Enabled for the boxer too (no reference anchor — it ships no
-            # boxer tasks): with fixed beta=1 the near-goal weights collapse
-            # to argmax and the nonholonomic base parks ~0.2 m out.
+            # Auto-enabled for panda (reference gate) AND boxer (extension —
+            # see MPPIConfig.beta_adapt); mppi=boxer_parity ablates it.
             beta = jnp.where(eta > 20.0, beta * 0.9, jnp.where(eta < 10.0, beta * 1.2, beta))
         return weights, beta
 

@@ -130,6 +130,9 @@ class ReactiveTAMP:
                     self.motion_planner.K,
                     self.motion_planner.T,
                     bool(cfg.multi_modal),
+                    boxer_continuous_align=bool(
+                        getattr(cfg.mppi, "boxer_continuous_align", True)
+                    ),
                 )
             )
         elif self.env.env_type == "panda_env" and self.motion_planner.use_pallas:

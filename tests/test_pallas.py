@@ -94,13 +94,14 @@ def test_fused_rollout_matches_xla_path():
 # interpret-mode goldens: run on CPU in the default suite
 # ---------------------------------------------------------------------------
 
-def _build_tamp(K=32, T=12, config_name="config_point"):
+def _build_tamp(K=32, T=12, config_name="config_point", overrides=()):
     from m3p2i_aip_tpu.config.config_store import load_config
     from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
 
     cfg = load_config(
         config_name,
         [
+            *overrides,
             "task=push_pull",
             "multi_modal=True",
             "goal=[-3.75,-3.75]",
@@ -134,9 +135,17 @@ def test_multimodal_weights_interpret_matches_jax_cpu():
 @_skip_on_tpu
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "config_name", ["config_point", "config_heijn", "config_boxer"]
+    "config_name,overrides",
+    [
+        ("config_point", ()),
+        ("config_heijn", ()),
+        ("config_boxer", ()),
+        # reference-parity ablation config: one-sided push align + no beta
+        # adaptation — the kernel must track the ablated cost formula too
+        ("config_boxer", ("mppi=boxer_parity",)),
+    ],
 )
-def test_fused_rollout_interpret_matches_xla_cpu(config_name):
+def test_fused_rollout_interpret_matches_xla_cpu(config_name, overrides):
     """Kernel-vs-XLA rollout parity on CPU (interpret mode), all three
     point-family robot bases (2-dof omni / 3-dof omni / diff-drive).
 
@@ -159,7 +168,7 @@ def test_fused_rollout_interpret_matches_xla_cpu(config_name):
         PointObjective,
     )
 
-    cfg, tamp = _build_tamp(config_name=config_name)
+    cfg, tamp = _build_tamp(config_name=config_name, overrides=overrides)
     mp = tamp.motion_planner
     full = tamp.env.params
     red = full.replace(
@@ -174,6 +183,7 @@ def test_fused_rollout_interpret_matches_xla_cpu(config_name):
     ov = make_point_rollout(
         red, float(cfg.kp_suction), mp.K, mp.T,
         bool(cfg.multi_modal), interpret=True,
+        boxer_continuous_align=bool(cfg.mppi.boxer_continuous_align),
     )
     assert ov is not None
 

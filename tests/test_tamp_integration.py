@@ -262,6 +262,62 @@ def test_domain_randomization_friction_and_size():
     assert abs(float(noised.dyn_friction[slot]) - 0.5) <= 0.3 * 0.5 + 1e-6
 
 
+def test_boxer_parity_ablation_flags():
+    """mppi=boxer_parity restores pure reference behavior for the diff-drive
+    base: beta adaptation off (the reference gates it panda-only,
+    mppi.py:446-454) and the one-sided max(cos, 0) push align
+    (cost_functions.py:57-58) — while the default boxer config keeps both
+    extensions on and the point/panda autos stay untouched."""
+    import jax.numpy as jnp
+
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    base = ReactiveTAMP(
+        load_config("config_boxer", ["mppi.num_samples=16", "mppi.horizon=12"])
+    )
+    parity = ReactiveTAMP(
+        load_config(
+            "config_boxer",
+            ["mppi=boxer_parity", "mppi.num_samples=16", "mppi.horizon=12"],
+        )
+    )
+    assert base.motion_planner.beta_adapt is True
+    assert base.objective.boxer_continuous_align is True
+    assert parity.motion_planner.beta_adapt is False
+    assert parity.objective.boxer_continuous_align is False
+    assert parity.motion_planner.exploration_noise == 0.0
+
+    # the ablated push cost really is the reference formula: parked BESIDE
+    # the box (cos ~ 0) it reads flat (align term 0), while the continuous
+    # extension still pays ~1.5 there
+    state0 = base.env.init_state()
+    box = state0.dyn_pos[base.objective.box_dyn_slot]
+    # robot due north of the box, goal due west: cos(theta) is exactly 0
+    state = state0.replace(
+        q=jnp.concatenate([box + jnp.asarray([0.0, 1.0]), jnp.zeros(1)]),
+        qd=jnp.zeros(3),
+    )
+    goal = box + jnp.asarray([-2.0, 0.0])
+    align_base = float(base.objective._push(state, goal)) - float(
+        3.0 * base.objective._dist_terms(state, goal)[0]
+    )
+    align_parity = float(parity.objective._push(state, goal)) - float(
+        3.0 * parity.objective._dist_terms(state, goal)[0]
+    )
+    assert abs(align_parity) < 1e-5
+    assert align_base > 1.0
+
+    # point keeps beta adaptation off, panda on (reference auto gates)
+    assert (
+        ReactiveTAMP(
+            load_config(
+                "config_point", ["mppi.num_samples=16", "mppi.horizon=12"]
+            )
+        ).motion_planner.beta_adapt
+        is False
+    )
+
+
 def test_per_sample_friction_randomization():
     """Per-rollout friction draws (VERDICT r3 #5 / isaacgym_wrapper.py:313-319):
     with noise_percentage_friction set, each of the K rollout states carries
