@@ -41,6 +41,13 @@ class ExampleConfig:
     multi_modal: bool = False
     pre_height_diff: float = 0.0
     cube_on_shelf: bool = False
+    # CLI shorthand for domain randomization: > 0 sets
+    # noise_percentage_friction on every movable (non-fixed, non-robot)
+    # actor without forking the per-actor YAML scene.  The real env then
+    # draws a per-seed friction at build time and the planner draws K
+    # per-rollout friction scales per reseed — the reference's per-env
+    # creation-time noise (isaacgym_wrapper.py:313-319).
+    fric_noise: float = 0.0
 
     @property
     def sim(self) -> SimConfig:

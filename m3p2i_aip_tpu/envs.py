@@ -64,6 +64,12 @@ def make_env(cfg) -> Env:
             )
         p = list(map(float, pos))
         hits[0].init_pos = p + hits[0].init_pos[len(p):]
+    if float(getattr(cfg, "fric_noise", 0.0)) > 0.0:
+        # CLI domain-randomization shorthand (ExampleConfig.fric_noise):
+        # friction noise on every movable non-robot actor
+        for a in actors:
+            if not a.fixed and a.type != "robot":
+                a.noise_percentage_friction = float(cfg.fric_noise)
     if cfg.env_type in ("point_env", "heijn_env", "boxer_env"):
         return _make_point_env(cfg, actors)
     if cfg.env_type == "panda_env":

@@ -79,7 +79,7 @@ def main(argv) -> None:
     # reuses one traced+compiled planner across seeds (MPPI.reseed)
     from m3p2i_aip_tpu.sim.sim_config import load_env_cfgs
 
-    wants_domain_noise = any(
+    wants_domain_noise = float(getattr(cfg, "fric_noise", 0.0)) > 0.0 or any(
         a.noise_percentage_friction or a.noise_sigma_size
         for a in load_env_cfgs(cfg.env_type)
     )

@@ -4,6 +4,9 @@
 # a health probe fails (a wedged axon tunnel hangs every subsequent dispatch
 # for ~30-60 min — continuing just deepens the wedge).
 # Logs land in /tmp/tpu_chain_r4/; artifacts at the repo root + plot/.
+#
+# Already measured this round (not repeated here): bench.py at HEAD
+# (2870.78 Hz, 135.4x) and the on-device pallas parity suite (4 passed).
 set -u
 cd "$(dirname "$0")/.."
 OUT=/tmp/tpu_chain_r4
@@ -32,28 +35,34 @@ step() {  # step <name> <timeout_s> <cmd...>
 
 probe || { echo "ABORT: tunnel down at start" | tee -a $OUT/chain.log; exit 1; }
 
-# 1. headline bench at HEAD (catches any kernel-refactor regression vs r3's
-#    2888 Hz pipelined / 2181 Hz serial)
-step bench 900 python bench.py
-
-# 2. panda headline bench (VERDICT r3 #3): sustained pick-place replan Hz at
+# 1. panda headline bench (VERDICT r3 #3): sustained pick-place replan Hz at
 #    K=200 x T=12 with the on-device AIF chunk -> PANDA_BENCH.json
 step bench_panda 1800 python scripts/bench_panda.py
 
-# 3. on-device kernel parity incl. the NEW grid-batched rollouts
-step pallas_tpu 2400 env M3P2I_TEST_TPU=1 python -m pytest tests/test_pallas.py -q
-
-# 4. seed-axis batch evaluation artifacts (VERDICT r3 #1): serial vs ONE
+# 2. seed-axis batch evaluation artifacts (VERDICT r3 #1): serial vs ONE
 #    vmapped batched program, point + panda, n=20
 step batch_eval_point 3600 python scripts/bench_batch_eval.py n_runs=20
 step batch_eval_panda 5400 python scripts/bench_batch_eval.py n_runs=20 family=panda
 
-# 5. a panda n=20 envelope PRODUCED BY the batched runner (VERDICT r3 #2
+# 3. a panda n=20 envelope PRODUCED BY the batched runner (VERDICT r3 #2
 #    done-criterion) — quality must match the serial-runner envelopes
 step panda_batched_envelope 5400 python scripts/run_experiments.py -cn config_panda \
-    parallel_seeds=true n_runs=20 chunked=10 out=plot/panda/pick_batched.npy
+    multi_modal=True parallel_seeds=true n_runs=20 chunked=10 \
+    out=plot/panda/pick_batched.npy
 
-# 6. utilization / roofline evidence (VERDICT r3 #4) -> UTILIZATION.json
+# 4. utilization / roofline evidence (VERDICT r3 #4) -> UTILIZATION.json
 step utilization 1800 python scripts/analyze_utilization.py
+
+# 5. boxer reference-parity ablation row (VERDICT r3 #8): corner hybrid with
+#    beta adaptation + continuous align OFF, vs the published 20/20 default
+step boxer_parity 3600 python scripts/run_experiments.py -cn config_boxer \
+    mppi=boxer_parity task=push_pull multi_modal=True goal="[-3.75,-3.75]" \
+    n_runs=20 chunked=10 out=plot/point/boxer_corner_hybrid_parity.npy
+
+# 6. domain-randomization envelope row (VERDICT r3 #5 done-criterion):
+#    point push with 40% per-sample + per-seed friction noise armed
+step fric_envelope 3600 python scripts/run_experiments.py task=push \
+    goal="[-1,-1]" fric_noise=0.4 n_runs=20 chunked=10 \
+    out=plot/point/push_fricnoise.npy
 
 echo "CHAIN COMPLETE $(date -u +%H:%M:%S)" | tee -a $OUT/chain.log

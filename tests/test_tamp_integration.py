@@ -262,6 +262,28 @@ def test_domain_randomization_friction_and_size():
     assert abs(float(noised.dyn_friction[slot]) - 0.5) <= 0.3 * 0.5 + 1e-6
 
 
+def test_fric_noise_cli_shorthand():
+    """`fric_noise=0.3` on the CLI arms domain randomization end-to-end
+    without YAML edits: the built scene carries per-actor noise amplitudes,
+    and the planner draws per-sample friction scales."""
+    import numpy as np
+
+    from m3p2i_aip_tpu.envs import make_env
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_point",
+        ["task=push", "fric_noise=0.3", "mppi.num_samples=16", "mppi.horizon=8"],
+    )
+    env = make_env(cfg)
+    noise = np.asarray(env.params.dyn_fric_noise)
+    assert np.any(noise == 0.3), noise  # box + dyn-obs armed
+    tamp = ReactiveTAMP(cfg, env=env)
+    assert tamp.motion_planner.fric_inject is not None
+    fs = np.asarray(tamp.motion_planner.init_state().fric_scale_k)
+    assert fs.shape[0] == 16 and len(np.unique(fs)) > 1
+
+
 def test_boxer_parity_ablation_flags():
     """mppi=boxer_parity restores pure reference behavior for the diff-drive
     base: beta adaptation off (the reference gates it panda-only,
