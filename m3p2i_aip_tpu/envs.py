@@ -172,9 +172,12 @@ def _make_albert_env(cfg, actors) -> Env:
     params = albert.build_params(actors, cfg.sim)
 
     def view_vec(state):
-        """[base_pose(3), base_vel(3), ee_pos(3)] in one device array."""
+        """[base_pose(3), base_vel(3), ee_pos(3), box_pos(2)] in one device
+        array (box rows park at 1e3 in boxless scenes)."""
         ee_pos, _ = albert.fk(state)["ee"]
-        return jnp.concatenate([state.q[:3], state.qd[:3], ee_pos])
+        return jnp.concatenate(
+            [state.q[:3], state.qd[:3], ee_pos, state.box_pos]
+        )
 
     def view_unpack(vec) -> dict:
         vec = np.asarray(vec)
@@ -183,6 +186,7 @@ def _make_albert_env(cfg, actors) -> Env:
             "robot_yaw": float(vec[2]),
             "robot_vel": vec[3:5],
             "ee_pos": vec[6:9],
+            "box_pos": vec[9:11],
         }
 
     def view(state):

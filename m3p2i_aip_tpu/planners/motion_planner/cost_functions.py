@@ -381,5 +381,28 @@ class AlbertObjective:
         # noise (the EE term alone lets arm wiggle drown the wheel signal,
         # deadlocking the diff-drive base on the null-action sample)
         base_cost = 3.0 * jnp.linalg.norm(state.q[:2] - task.goal[:2])
-        cost = jnp.where(task.task_id == 7, ee_cost + base_cost, nav_cost)
+
+        # push_reach (task_id 9): shove the box to goal[:2] with the BASE
+        # while the ARM keeps the end effector hovering over the moving box
+        # at height goal[2] — base and arm are coupled through the contact
+        # (every wheel sample that moves the box drags the EE target with
+        # it).  Push shaping mirrors the boxer push cost: dist terms per
+        # PointObjective._dist_terms, continuous side alignment for the
+        # diff-drive base.
+        r2b = state.box_pos - state.q[:2]
+        b2g = task.goal[:2] - state.box_pos
+        d_rb = jnp.linalg.norm(r2b)
+        d_bg = jnp.linalg.norm(b2g)
+        cos_theta = jnp.sum(-r2b * b2g) / jnp.maximum(d_rb * d_bg, 1e-9)
+        push_cost = 3.0 * (d_rb + d_bg * 10.0) + 1.5 * (1.0 + cos_theta)
+        hover = jnp.concatenate(
+            [state.box_pos, task.goal[2:3]]
+        )  # EE target rides the box
+        hover_cost = 5.0 * jnp.linalg.norm(ee_pos - hover)
+
+        cost = jnp.where(
+            task.task_id == 9,
+            push_cost + hover_cost,
+            jnp.where(task.task_id == 7, ee_cost + base_cost, nav_cost),
+        )
         return cost, jnp.zeros(0)

@@ -151,6 +151,9 @@ TASK_IDS = {
     # diff-drive pocket-endgame standoff drive (PLANNER_SIMPLE latch):
     # navigation cost, but never a success state
     "reposition": 8,
+    # albert mobile manipulation WITH contact: base pushes the box to
+    # goal[:2] while the arm holds the EE over the moving box at goal[2]
+    "push_reach": 9,
     # non-planning tasks map to a safe default cost (the reference degrades
     # to motion-cost-only for unknown tasks, cost_functions.py:19-36)
     "idle": 0,

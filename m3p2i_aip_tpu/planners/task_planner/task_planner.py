@@ -80,6 +80,7 @@ class PLANNER_SIMPLE:
         self._stall_prev: Optional[np.ndarray] = None
         self._stall_n = 0
         self._relatch_left = 5
+        self._latch_d_bg: Optional[float] = None
 
     _POCKET_LATCH_R = 1.25  # > the 1.0 rollout veto radius: latch fires first
     _STANDOFF = 0.75  # m behind the box center (robot r 0.3 + box half 0.2)
@@ -102,8 +103,11 @@ class PLANNER_SIMPLE:
         two-corner drag (box STARTS in a corner — the reference's corner2
         scenario) can back the puller into the goal pocket where the
         boundary-crush veto freezes it 0.3 m short; the stall latch
-        detects exactly that freeze and repositions for the final push."""
-        if self._base_task in ("push", "push_pull", "hybrid"):
+        detects exactly that freeze and repositions for the final push.
+
+        Also armed for the albert ``push_reach`` (same diff-drive
+        parks-beside-the-box fixed point, open floor, stall latch only)."""
+        if self._base_task in ("push", "push_pull", "hybrid", "push_reach"):
             self._pocket_lim = pocket_lim
             self._prox_latch = proximity_latch
 
@@ -160,13 +164,27 @@ class PLANNER_SIMPLE:
                 self._latch_reposition(box)
         elif self._pocket_stage == 1:
             if np.linalg.norm(robot - self.curr_goal[:2]) < 0.15:
-                self.task = "push"
+                # finish stage: PURE push for the point family (even from a
+                # push_pull base plan); push_reach keeps its own cost (the
+                # EE hover must stay active through the endgame)
+                self.task = (
+                    "push_reach" if self._base_task == "push_reach" else "push"
+                )
                 self.curr_goal = self._base_goal.copy()
                 self._pocket_stage = 2
                 self._stall_n = 0
-        elif stalled and self._relatch_left > 0:
-            self._relatch_left -= 1
-            self._latch_reposition(box)
+        elif stalled:
+            # a recovery cycle that moved the box closer since the last
+            # latch is WORKING — refill the budget BEFORE gating on it (the
+            # bound exists to stop unproductive spinning, not productive
+            # multi-arc pushes)
+            d_bg = float(np.linalg.norm(box - self._base_goal[:2]))
+            if self._latch_d_bg is not None and d_bg < self._latch_d_bg - 0.05:
+                self._relatch_left = 5
+            if self._relatch_left > 0:
+                self._latch_d_bg = d_bg
+                self._relatch_left -= 1
+                self._latch_reposition(box)
 
     def reset_plan(self) -> None:
         self.task = self._base_task
@@ -175,6 +193,7 @@ class PLANNER_SIMPLE:
         self._stall_prev = None
         self._stall_n = 0
         self._relatch_left = 5
+        self._latch_d_bg = None
 
     def check_task_success(self, view) -> bool:
         if self.task == "navigation":
@@ -191,6 +210,11 @@ class PLANNER_SIMPLE:
             return bool(
                 np.linalg.norm(np.asarray(view["ee_pos"]) - self.curr_goal[:3])
                 < self.dist_threshold
+            )
+        if self.task == "push_reach":  # albert: box at the planar goal
+            return bool(
+                np.linalg.norm(np.asarray(view["box_pos"]) - self.curr_goal[:2])
+                <= self.dist_threshold
             )
         return False
 

@@ -80,6 +80,14 @@ def build_task_planner(cfg, env, objective):
             - float(p.dyn_half[objective.box_dyn_slot, 0]),
             proximity_latch=(p.robot_type == "boxer"),
         )
+    elif env.env_type == "albert_env" and hasattr(
+        tp, "configure_pocket_endgame"
+    ):
+        # open floor (no arena): arm ONLY the stall latch — the albert base
+        # parks beside an off-axis box exactly like the boxer (the
+        # reposition arc exceeds the lookahead), and the same
+        # stall -> reposition -> push cycle breaks the fixed point
+        tp.configure_pocket_endgame(10.0, proximity_latch=False)
     return tp
 
 
@@ -319,6 +327,15 @@ class ReactiveTAMP:
         never latch here; the host's chunk-boundary check still covers them."""
         goal2 = task.goal[:2]
         nav_ok = jnp.linalg.norm(real_state.q[:2] - goal2) < 0.1
+        if self.env.env_type == "albert_env":
+            # albert: push_reach gates on the pushed box (ee_reach keeps the
+            # host's chunk-boundary check — FK per tick isn't worth the gate)
+            box_ok = jnp.linalg.norm(real_state.box_pos - goal2) <= 0.1
+            return jnp.where(
+                task.task_id == 0,
+                nav_ok,
+                jnp.where(task.task_id == 9, box_ok, False),
+            )
         names = list(self.env.params.actor_names)
         if "box" in names:
             slot = self.env.params.dyn_actor_idx.index(names.index("box"))

@@ -254,6 +254,10 @@ class SimLoop:
             self.state = self.state.replace(
                 body_pos=self.state.body_pos.at[slot].add(jnp.asarray(dpos))
             )
+        elif self.env.env_type == "albert_env":
+            self.state = self.state.replace(
+                box_pos=self.state.box_pos + jnp.asarray(dpos[:2])
+            )
         else:
             slot = self.env.params.dyn_actor_idx.index(names.index(name))
             self.state = self.state.replace(

@@ -16,24 +16,34 @@ probe() {
     timeout 120 python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256))
-print('probe ok', (x @ x).sum())
+print('probe ok', float((x @ x).sum()))
 " >> $OUT/probe.log 2>&1
+}
+
+wait_healthy() {
+    # A wedged axon tunnel self-clears in ~30-60 min (CLAUDE.md); probe
+    # every 5 min for up to 90 min before giving up.
+    local tries=0
+    while ! probe; do
+        tries=$((tries + 1))
+        echo "tunnel wedged, wait $tries/18 $(date -u +%H:%M:%S)" | tee -a $OUT/chain.log
+        if [ $tries -ge 18 ]; then
+            echo "ABORT: tunnel stayed wedged 90 min" | tee -a $OUT/chain.log
+            exit 1
+        fi
+        sleep 300
+    done
 }
 
 step() {  # step <name> <timeout_s> <cmd...>
     local name=$1 tmo=$2; shift 2
+    wait_healthy
     echo "=== $name $(date -u +%H:%M:%S) ===" | tee -a $OUT/chain.log
     timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
     local rc=$?
-    echo "=== $name rc=$rc ===" | tee -a $OUT/chain.log
-    if ! probe; then
-        echo "ABORT: tunnel wedged after $name" | tee -a $OUT/chain.log
-        exit 1
-    fi
+    echo "=== $name rc=$rc $(date -u +%H:%M:%S) ===" | tee -a $OUT/chain.log
     return $rc
 }
-
-probe || { echo "ABORT: tunnel down at start" | tee -a $OUT/chain.log; exit 1; }
 
 # 1. panda headline bench (VERDICT r3 #3): sustained pick-place replan Hz at
 #    K=200 x T=12 with the on-device AIF chunk -> PANDA_BENCH.json

@@ -45,3 +45,85 @@ def test_albert_ee_reach_end_to_end():
     assert success_at is not None, f"ee dist {d0:.3f} -> {d:.3f}, no success"
     # base must actually have driven (arm-only can't span 2.8 m)
     assert np.linalg.norm(v["robot_pos"]) > 0.8
+
+
+def test_albert_box_contact_physics():
+    """The albert scene's pushable box (2_box.yaml): driving the base into
+    it moves it continuously (no tunneling), friction stops it after
+    release, and a base heading AWAY leaves it untouched."""
+    import jax.numpy as jnp
+
+    from m3p2i_aip_tpu.models import albert
+
+    cfg = load_config("config_albert")
+    tamp = ReactiveTAMP(cfg)
+    params = tamp.env.params
+    assert params.has_box
+    state = tamp.env.init_state()
+    box0 = np.asarray(state.box_pos)
+
+    # head-on approach: base placed west of the box, full wheel speed east
+    state = state.replace(
+        q=state.q.at[0:3].set(jnp.asarray([box0[0] - 1.0, box0[1], 0.0]))
+    )
+    u_fwd = jnp.zeros(13).at[11].set(12.0).at[12].set(12.0)
+    step = jax.jit(lambda s: albert.step(params, s, u_fwd))
+    prev_x = box0[0]
+    for _ in range(60):
+        state = step(state)
+        bx = float(state.box_pos[0])
+        assert bx - prev_x < 0.2, "box tunneled"
+        prev_x = bx
+    pushed = float(state.box_pos[0]) - box0[0]
+    assert pushed > 0.3, f"box barely moved: {pushed:.3f}"
+    assert abs(float(state.box_pos[1]) - box0[1]) < 0.3  # head-on push
+
+    # ground friction: box comes to rest after the base stops
+    u0 = jnp.zeros(13)
+    step0 = jax.jit(lambda s: albert.step(params, s, u0))
+    for _ in range(40):
+        state = step0(state)
+    assert np.linalg.norm(np.asarray(state.box_vel)) < 1e-2
+
+    # no spooky action: driving away never moves the box
+    state2 = tamp.env.init_state().replace(
+        q=tamp.env.init_state().q.at[0:3].set(jnp.asarray([-2.0, 2.0, np.pi]))
+    )
+    for _ in range(40):
+        state2 = step(state2)
+    assert np.allclose(np.asarray(state2.box_pos), box0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_albert_push_reach_end_to_end():
+    """Mobile manipulation WITH contact: the base pushes the box ~1 m to a
+    planar goal while the arm keeps the EE hovering over the moving box —
+    wheel and arm channels coupled through the same contact."""
+    cfg = load_config(
+        "config_albert",
+        ["task=push_reach", "goal=[3.0,0.0,0.6]", "mppi.num_samples=128"],
+    )
+    tamp = ReactiveTAMP(cfg)
+    state = tamp.env.init_state()
+    box0 = np.asarray(state.box_pos)
+    goal = np.asarray(cfg.goal)
+    success_at = None
+    ee_err = []
+    for i in range(500):
+        action = tamp.run_tamp(state)
+        if tamp.task_success:
+            success_at = i
+            break
+        state = tamp.env.step(state, action, tamp.env.zero_ext())
+        v = tamp.env.view(state)
+        ee_err.append(
+            np.linalg.norm(v["ee_pos"] - np.r_[v["box_pos"], goal[2]])
+        )
+    v = tamp.env.view(state)
+    d = np.linalg.norm(v["box_pos"] - goal[:2])
+    assert success_at is not None, (
+        f"box {box0} -> {v['box_pos']}, dist {d:.3f}, no success"
+    )
+    # the arm really tracked the moving box (mean hover error small once
+    # the transient settles)
+    assert np.mean(ee_err[20:]) < 0.6, np.mean(ee_err[20:])
