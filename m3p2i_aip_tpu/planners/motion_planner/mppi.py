@@ -97,6 +97,9 @@ class MPPIConfig:
     # sampling stalls.  0 = off (pure sampling, reference behavior).
     grad_refine_steps: int = 0
     grad_refine_lr: float = 0.02
+    # unroll the refinement's T-step rollout scan (fwd + induced reverse):
+    # faster per tick for small T, at added compile time
+    grad_refine_unroll: bool = False
     # per-tick jitter on the cached Halton deltas (extension; breaks
     # deterministic replanning fixed points — see _command_halton)
     exploration_noise: float = 0.05
@@ -837,8 +840,14 @@ class MPPI:
                 c, ext = self.running_cost(s, u_t, task, mode)
                 return (s, ext), c
 
+            # unroll: T is small (12) and each step is tiny sequential VPU
+            # work — unrolling lets XLA fuse across steps in both the
+            # forward and the induced reverse pass instead of paying loop
+            # overhead per step (flag-gated: costs compile time)
+            unroll = bool(getattr(self.cfg, "grad_refine_unroll", False))
             (_, _), costs = jax.lax.scan(
-                step_t, (sim_state0, self.zero_ext()), mean
+                step_t, (sim_state0, self.zero_ext()), mean,
+                unroll=True if unroll else 1,
             )
             return jnp.sum(costs * self.gamma_seq)
 

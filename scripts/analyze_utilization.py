@@ -61,6 +61,27 @@ def _timeit(fn, *args, iters=50):
     return (time.perf_counter() - t0) / iters
 
 
+def _timeit_scanned(step, carry0, iters=100):
+    """DEVICE-SIDE per-call time: ``iters`` calls chained through a carry in
+    ONE ``lax.scan`` under ONE jit — a single dispatch, so the remote-tunnel
+    RTT amortizes to ~nothing and host-loop jitter cannot invert the
+    small-vs-large workload ordering (which it did for per-call timing:
+    dispatch latency >> device time for every workload here).
+
+    ``step(carry) -> carry`` must thread a data dependency through the call
+    so XLA cannot hoist or collapse the chain."""
+    from jax import lax
+
+    def body(c, _):
+        return step(c), None
+
+    run = jax.jit(lambda c: lax.scan(body, c, None, length=iters)[0])
+    jax.block_until_ready(run(carry0))  # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(carry0))
+    return (time.perf_counter() - t0) / iters
+
+
 def workload(K, T, label):
     from m3p2i_aip_tpu.config.config_store import load_config
     from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
@@ -110,9 +131,24 @@ def workload(K, T, label):
     row["kernel_hbm_bytes"] = kernel_bytes
 
     if ov is not None:
-        t_kernel = _timeit(
+        t_disp = _timeit(
             jax.jit(lambda s, a: ov(s, a, tp)), sK, acts
         )
+        row["kernel_ms_incl_dispatch"] = round(t_disp * 1e3, 4)
+
+        # device-side: chain the kernel through the action tensor so every
+        # scan iteration depends on the last (1e-30 * cost-sum is exact 0 in
+        # f32 here, but XLA cannot know that)
+        def k_step(a):
+            out = ov(sK, a, tp)
+            s = sum(
+                jnp.sum(o).astype(jnp.float32)
+                for o in jax.tree_util.tree_leaves(out)
+                if jnp.issubdtype(o.dtype, jnp.floating)
+            )
+            return a + s * 1e-30
+
+        t_kernel = _timeit_scanned(k_step, acts)
         row["kernel_ms"] = round(t_kernel * 1e3, 4)
         row["kernel_flops_per_s"] = flops / t_kernel
         row["kernel_pct_vpu_f32"] = round(100 * flops / t_kernel / V5E_VPU_F32, 2)
@@ -130,7 +166,19 @@ def workload(K, T, label):
     def tick(ms, rs):
         return tamp._tick_fused_impl(ms, rs, task, i0)
 
-    t_tick = _timeit(jax.jit(tick), ms0, state)
+    t_tick_disp = _timeit(jax.jit(tick), ms0, state)
+    row["fused_tick_ms_incl_dispatch"] = round(t_tick_disp * 1e3, 4)
+
+    # device-side tick: the natural carry is (planner state, env state) —
+    # exactly how run_chunked scans ticks in production
+    def t_step(carry):
+        ms, rs = carry
+        _act, ms2, rs2, _view, _trajs = tamp._tick_fused_impl(
+            ms, rs, task, i0
+        )
+        return (ms2, rs2)
+
+    t_tick = _timeit_scanned(t_step, (ms0, state))
     row["fused_tick_ms"] = round(t_tick * 1e3, 4)
     # floors
     row["compute_floor_us"] = round(flops / V5E_VPU_F32 * 1e6, 2)
@@ -156,16 +204,21 @@ def main():
     with open("UTILIZATION.json", "w") as f:
         f.write(json.dumps(out) + "\n")
 
-    # markdown table for RESULTS.md
-    print("\n| workload | rollout GFLOP | kernel ms | % VPU f32 | % HBM BW | "
-          "compute floor | memory floor | fused tick ms |")
+    # markdown table for RESULTS.md (device-side times from the scanned
+    # chain; the incl-dispatch columns show what one host round trip adds)
+    print("\n| workload | rollout GFLOP | kernel ms (device / +dispatch) | "
+          "% VPU f32 | % HBM BW | compute floor | memory floor | "
+          "fused tick ms (device / +dispatch) |")
     print("|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['workload']} | {r['rollout_flops']/1e9:.3f} | "
-            f"{r.get('kernel_ms','-')} | {r.get('kernel_pct_vpu_f32','-')} | "
+            f"{r.get('kernel_ms','-')} / "
+            f"{r.get('kernel_ms_incl_dispatch','-')} | "
+            f"{r.get('kernel_pct_vpu_f32','-')} | "
             f"{r.get('kernel_hbm_pct','-')} | {r['compute_floor_us']} us | "
-            f"{r['memory_floor_us']} us | {r['fused_tick_ms']} |"
+            f"{r['memory_floor_us']} us | {r['fused_tick_ms']} / "
+            f"{r['fused_tick_ms_incl_dispatch']} |"
         )
 
 
