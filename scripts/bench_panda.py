@@ -30,6 +30,7 @@ BASELINE_HZ = 21.2  # best reference scenario mean (plot/point/*.npy col 16)
 
 def main(argv) -> None:
     out = "PANDA_BENCH.json"
+    overrides = ["multi_modal=True"]
     for a in argv:
         if a.startswith("out="):
             out = a.split("=", 1)[1]
@@ -37,13 +38,16 @@ def main(argv) -> None:
             import jax
 
             jax.config.update("jax_platforms", "cpu")
+        else:
+            # config overrides, e.g. mppi.grad_refine_unroll=True
+            overrides.append(a)
 
     import jax
 
     from m3p2i_aip_tpu.config.config_store import load_config
     from m3p2i_aip_tpu.tamp.sim_loop import SimLoop
 
-    cfg = load_config("config_panda", ["multi_modal=True"])
+    cfg = load_config("config_panda", overrides)
     loop = SimLoop(cfg)
     loop.warmup(50)
     tamp = loop.tamp
