@@ -81,10 +81,12 @@ class PLANNER_SIMPLE:
         self._stall_n = 0
         self._relatch_left = 5
         self._latch_d_bg: Optional[float] = None
+        self._stalled = False
+        self._observed = False
 
     _POCKET_LATCH_R = 1.25  # > the 1.0 rollout veto radius: latch fires first
     _STANDOFF = 0.75  # m behind the box center (robot r 0.3 + box half 0.2)
-    _STALL_CALLS = 15  # update_plan calls (ticks, or chunks when chunked)
+    _STALL_CALLS = 15  # stall ticks before the latch fires (see observe())
 
     def configure_pocket_endgame(
         self, pocket_lim: float, proximity_latch: bool = True
@@ -140,6 +142,24 @@ class PLANNER_SIMPLE:
         self._pocket_stage = 1
         self._stall_n = 0
 
+    def observe(self, view) -> None:
+        """Per-tick stall bookkeeping, decoupled from the planning cadence.
+
+        Chunked loops call ``update_plan`` once per CHUNK, which used to make
+        the stall latch wait ``_STALL_CALLS`` *chunks* (150 ticks at chunk=10)
+        instead of ticks — the albert push_reach chunked envelope timed out
+        8/20 seeds purely on that latch latency (each push<->reposition
+        recovery cycle paid the 10x detection delay).  The chunk drains every
+        per-tick view host-side anyway, so the loops feed them here and the
+        latch stays tick-granular under any chunk size; ``update_plan`` then
+        consumes the freshest verdict at the next plan boundary."""
+        if self._pocket_lim is None:
+            return
+        box = np.asarray(view["box_pos"], dtype=np.float32)[:2]
+        robot = np.asarray(view["robot_pos"], dtype=np.float32)[:2]
+        self._stalled = self._box_stalled(box, robot)
+        self._observed = True
+
     def update_plan(self, view) -> None:
         if self._pocket_lim is None:
             return
@@ -154,7 +174,10 @@ class PLANNER_SIMPLE:
         )
         box = np.asarray(view["box_pos"], dtype=np.float32)[:2]
         robot = np.asarray(view["robot_pos"], dtype=np.float32)[:2]
-        stalled = self._box_stalled(box, robot)
+        if not self._observed:  # per-tick loop: update_plan IS the observer
+            self.observe(view)
+        self._observed = False
+        stalled = self._stalled
         if self._pocket_stage == 0:
             near = pocket_goal and (
                 np.linalg.norm(box - self._base_goal[:2])
@@ -192,6 +215,8 @@ class PLANNER_SIMPLE:
         self._pocket_stage = 0
         self._stall_prev = None
         self._stall_n = 0
+        self._stalled = False
+        self._observed = False
         self._relatch_left = 5
         self._latch_d_bg = None
 

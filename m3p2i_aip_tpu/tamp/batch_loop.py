@@ -204,6 +204,10 @@ class BatchSimLoop:
         for k in range(n_ticks):
             view = self.env.view_unpack(views_b[k])
             self.views[b] = view
+            if hasattr(tp, "observe"):
+                # tick-granular stall bookkeeping (PLANNER_SIMPLE.observe):
+                # update_plan only runs at chunk boundaries
+                tp.observe(view)
             success = tp.check_task_success(view)
             log.steps += 1
             log.replan_s.append(per)

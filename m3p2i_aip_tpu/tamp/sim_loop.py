@@ -321,11 +321,14 @@ class SimLoop:
         tick index, or None."""
         per = elapsed / max(n_ticks, 1)
         done_at = None
+        tp = self.tamp.task_planner
         for k in range(n_ticks):
             self._view = self.env.view_unpack(views[k])
-            self.tamp.task_success = self.tamp.task_planner.check_task_success(
-                self._view
-            )
+            if hasattr(tp, "observe"):
+                # tick-granular stall bookkeeping (PLANNER_SIMPLE.observe):
+                # update_plan only runs at chunk boundaries
+                tp.observe(self._view)
+            self.tamp.task_success = tp.check_task_success(self._view)
             self._record(i + k, self._view, per, 0.0)
             if self.tamp.task_success:
                 done_at = i + k

@@ -247,3 +247,55 @@ def test_pocket_endgame_holonomic_stall_only():
         p.update_plan({"box_pos": box, "robot_pos": robot})
     assert p.task == "reposition" and p._pocket_stage == 1
     assert np.all(np.abs(p.curr_goal[:2]) <= 3.15 + 1e-5)
+
+
+def test_stall_latch_tick_granular_under_chunking():
+    """The stall latch must fire on STALL TICKS, not update_plan calls:
+    chunked loops call update_plan once per chunk but feed every drained
+    per-tick view through PLANNER_SIMPLE.observe (sim_loop._drain_chunk /
+    batch_loop._drain_seed).  Without observe(), a chunk=10 run waited
+    _STALL_CALLS chunks = 150 ticks per latch — the albert push_reach
+    chunked envelope timed out 8/20 seeds on exactly that latency."""
+    cfg = _Cfg()
+    cfg.task = "push_reach"
+    cfg.goal = [3.0, 0.0, 0.6]
+    p = set_task_planner(cfg)
+    p.configure_pocket_endgame(10.0, proximity_latch=False)
+
+    box = np.array([2.6, 0.4])
+    robot = np.array([2.2, 0.0])
+    chunk = 10
+    # chunk-cadence driving: observe() per tick, update_plan per chunk.
+    # The latch must fire at the first plan boundary AFTER _STALL_CALLS
+    # stall ticks (here: boundary 2, i.e. tick 20) — not after 15 chunks.
+    boundaries_to_latch = 0
+    for _ in range(4):  # 4 chunks = 40 ticks >> _STALL_CALLS
+        for _ in range(chunk):
+            p.observe({"box_pos": box, "robot_pos": robot})
+        p.update_plan({"box_pos": box, "robot_pos": robot})
+        boundaries_to_latch += 1
+        if p.task == "reposition":
+            break
+    assert p.task == "reposition" and p._pocket_stage == 1
+    assert boundaries_to_latch == 2  # ceil(_STALL_CALLS / chunk)
+
+    # per-tick driving (no observe feed): update_plan self-observes, same
+    # 15-tick latch as before the refactor
+    p.reset_plan()
+    calls = 0
+    while p.task != "reposition":
+        p.update_plan({"box_pos": box, "robot_pos": robot})
+        calls += 1
+        assert calls <= p._STALL_CALLS + 2
+    # +1: the first call after reset only establishes the motion baseline
+    assert calls == p._STALL_CALLS + 1
+
+    # a MOVING box resets the tick counter even when update_plan never sees
+    # the motion (it happened mid-chunk)
+    p.reset_plan()
+    for k in range(3 * p._STALL_CALLS):
+        moving_box = box + np.array([0.01 * k, 0.0])
+        p.observe({"box_pos": moving_box, "robot_pos": robot})
+        if (k + 1) % chunk == 0:
+            p.update_plan({"box_pos": moving_box, "robot_pos": robot})
+    assert p.task == "push_reach" and p._pocket_stage == 0
