@@ -394,15 +394,44 @@ class AlbertObjective:
         d_rb = jnp.linalg.norm(r2b)
         d_bg = jnp.linalg.norm(b2g)
         cos_theta = jnp.sum(-r2b * b2g) / jnp.maximum(d_rb * d_bg, 1e-9)
-        push_cost = 3.0 * (d_rb + d_bg * 10.0) + 1.5 * (1.0 + cos_theta)
+        # approach shaping: outside the contact envelope (base_radius 0.35
+        # + box half 0.2) the wheel signal must beat the arm-noise-induced
+        # hover spread or the base parks on the null-action sample exactly
+        # like the documented ee_reach deadlock.  Measured (r4d diag,
+        # seed 5): with hover at weight 5 and no shaping the base parks at
+        # d_rb=0.81 — precisely where the hover target first comes into arm
+        # reach — and the box never moves for 400 ticks.  The extra term is
+        # zero once in contact so it never fights the push itself.
+        approach = 5.0 * jnp.maximum(d_rb - 0.58, 0.0)
+        push_cost = (
+            3.0 * (d_rb + d_bg * 10.0) + 1.5 * (1.0 + cos_theta) + approach
+        )
         hover = jnp.concatenate(
             [state.box_pos, task.goal[2:3]]
         )  # EE target rides the box
-        hover_cost = 5.0 * jnp.linalg.norm(ee_pos - hover)
+        # contact-gated hover weight, 1.5 far -> 4.0 in contact (was a flat
+        # 5.0): outside contact the hover's sample spread (7 arm channels at
+        # sigma 0.8) drowned the 3/m wheel gradient in the softmax weights —
+        # the parking deadlock above — so the weight stays low during the
+        # approach; once pushing, the 30/m box-progress term dominates the
+        # ranking, so a tight hover is affordable exactly where the task
+        # wants it (the logged ee error is the final tick of an active push)
+        hover_w = 1.5 + 2.5 * jax.nn.sigmoid((0.60 - d_rb) / 0.03)
+        hover_cost = hover_w * jnp.linalg.norm(ee_pos - hover)
+
+        # reposition (task_id 8): navigate AROUND the box to the standoff —
+        # the bare nav cost let the 0.35 m base plow straight through it
+        # (r4d diag: every reposition leg moved the box AWAY from the goal,
+        # d_bg 1.22 -> 2.06 over four recovery cycles)
+        repo_cost = nav_cost + 10.0 * jnp.maximum(0.65 - d_rb, 0.0)
 
         cost = jnp.where(
             task.task_id == 9,
             push_cost + hover_cost,
-            jnp.where(task.task_id == 7, ee_cost + base_cost, nav_cost),
+            jnp.where(
+                task.task_id == 7,
+                ee_cost + base_cost,
+                jnp.where(task.task_id == 8, repo_cost, nav_cost),
+            ),
         )
         return cost, jnp.zeros(0)

@@ -94,6 +94,87 @@ def test_albert_box_contact_physics():
     assert np.allclose(np.asarray(state2.box_pos), box0, atol=1e-6)
 
 
+def test_albert_push_reach_no_parking_fixed_point():
+    """Cost-surface regression for the r4 push_reach parking deadlock.
+
+    Measured (r4d diag, seed 5): the base approached to d_rb=0.81 — exactly
+    where the hover target first comes into arm reach — and parked forever;
+    with the hover at a flat weight 5, the hover spread cancelled the 3/m
+    approach gradient, so the cost surface itself preferred the parked pose.
+    The fix (approach shaping outside the contact envelope + a
+    contact-gated hover weight that stays LOW during the approach) must
+    make the closer pose strictly cheaper in that regime: box at the
+    observed parking distance, arm rigid while the base advances."""
+    import jax.numpy as jnp
+
+    from m3p2i_aip_tpu.models import albert
+    from m3p2i_aip_tpu.planners.motion_planner.mppi import make_task_params
+
+    cfg = load_config("config_albert", ["task=push_reach"])
+    tamp = ReactiveTAMP(cfg)
+    state = tamp.env.init_state()
+
+    # parked pose: base at the origin; box at the observed parking distance
+    # (0.85, OUTSIDE the 0.55-0.63 contact envelope) along the EE bearing,
+    # hover height at the current EE so the arm is as comfortable as it
+    # ever gets at this pose
+    far = state.replace(q=state.q.at[0:3].set(jnp.asarray([0.0, 0.0, 0.0])))
+    ee_far, _ = albert.fk(far)["ee"]
+    ee_dir = ee_far[:2] / jnp.linalg.norm(ee_far[:2])
+    box = 0.85 * ee_dir
+    far = far.replace(box_pos=box)
+    # goal on the base->box line beyond the box: alignment and d_bg terms
+    # identical between the two poses
+    goal_xy = box + 1.5 * ee_dir
+    task = make_task_params(
+        "push_reach", [float(goal_xy[0]), float(goal_xy[1]), float(ee_far[2])]
+    )
+
+    # advanced pose: base 0.2 m toward the box, arm unchanged
+    close = far.replace(q=far.q.at[0:2].set(0.2 * ee_dir), box_pos=box)
+
+    u = jnp.zeros(13)
+    c_far, _ = tamp.objective.compute(far, u, task, 0)
+    c_close, _ = tamp.objective.compute(close, u, task, 0)
+    assert float(c_close) < float(c_far), (
+        f"parking fixed point: cost prefers the parked pose "
+        f"({float(c_far):.3f} <= {float(c_close):.3f})"
+    )
+
+
+def test_albert_reposition_avoids_box():
+    """Cost regression for the r4 reposition plow: the bare nav cost let
+    the 0.35 m base drive straight through the box on its way to the
+    standoff (r4d diag: every reposition leg moved the box AWAY from the
+    goal).  A pose in contact with the box must now cost decisively more
+    than a clear pose at the same nav distance from the standoff goal."""
+    import jax.numpy as jnp
+
+    from m3p2i_aip_tpu.planners.motion_planner.mppi import make_task_params
+
+    cfg = load_config("config_albert", ["task=push_reach"])
+    tamp = ReactiveTAMP(cfg)
+    state = tamp.env.init_state()
+    box = jnp.asarray([1.2, 0.0])
+    standoff = jnp.asarray([2.0, 0.0])  # behind the box for a -x push
+    task = make_task_params("reposition", [2.0, 0.0])
+
+    # both poses 1.0 m from the standoff goal; one ON the box, one clear
+    plow = state.replace(
+        q=state.q.at[0:2].set(jnp.asarray([1.0, 0.0])), box_pos=box
+    )
+    clear = state.replace(
+        q=state.q.at[0:2].set(jnp.asarray([2.0, 1.0])), box_pos=box
+    )
+    u = jnp.zeros(13)
+    c_plow, _ = tamp.objective.compute(plow, u, task, 0)
+    c_clear, _ = tamp.objective.compute(clear, u, task, 0)
+    assert float(c_plow) > float(c_clear) + 2.0, (
+        f"reposition does not avoid the box: plow {float(c_plow):.3f} vs "
+        f"clear {float(c_clear):.3f}"
+    )
+
+
 @pytest.mark.slow
 def test_albert_push_reach_end_to_end():
     """Mobile manipulation WITH contact: the base pushes the box ~1 m to a
