@@ -88,8 +88,36 @@ def main() -> None:
             panda = json.load(f)
         line["panda_hz"] = panda["value"]
         line["panda_vs_baseline"] = panda.get("vs_baseline")
-    except Exception:
-        pass
+        # provenance: the panda number is measured by scripts/bench_panda.py
+        # in a separate chain step — record when, so a stale artifact is
+        # visible in the combined record instead of silently carried
+        mtime = os.path.getmtime(panda_artifact)
+        line["panda_measured_utc"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(mtime)
+        )
+        line["panda_age_h"] = round((time.time() - mtime) / 3600.0, 1)
+    except Exception as e:  # missing/corrupt artifact: warn, don't hide
+        print(
+            f"bench.py: no panda artifact embedded ({panda_artifact}: {e})",
+            file=sys.stderr,
+        )
+    albert_artifact = os.path.join(
+        os.path.dirname(__file__), "ALBERT_BENCH.json"
+    )
+    try:
+        with open(albert_artifact) as f:
+            albert = json.load(f)
+        line["albert_hz"] = albert["value"]
+        line["albert_vs_baseline"] = albert.get("vs_baseline")
+        mtime = os.path.getmtime(albert_artifact)
+        line["albert_measured_utc"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(mtime)
+        )
+    except Exception as e:
+        print(
+            f"bench.py: no albert artifact embedded ({albert_artifact}: {e})",
+            file=sys.stderr,
+        )
     print(json.dumps(line))
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from m3p2i_aip_tpu.models import panda_env as pa
 from m3p2i_aip_tpu.models import point_env as pe
@@ -370,6 +371,19 @@ class AlbertObjective:
 
     def __init__(self, params, cfg):
         self.params = params
+        # contact envelope: robot footprint + box half — ALL the push_reach
+        # geometry thresholds below derive from this one radius so a scene
+        # with a different box (size-noise randomization, new YAML) moves
+        # them together instead of leaving stale magic numbers
+        box_half = (
+            float(np.mean(np.asarray(params.box_half)))
+            if getattr(params, "has_box", False)
+            else 0.2
+        )
+        self.contact_r = float(params.base_radius) + box_half
+        self.approach_r = self.contact_r + 0.03  # approach shaping boundary
+        self.hover_gate_r = self.contact_r + 0.05  # hover reweight midpoint
+        self.clearance_r = self.contact_r + 0.10  # reposition keep-out
 
     def compute(self, state, u, task: TaskParams, mode):
         from m3p2i_aip_tpu.models import albert
@@ -394,15 +408,16 @@ class AlbertObjective:
         d_rb = jnp.linalg.norm(r2b)
         d_bg = jnp.linalg.norm(b2g)
         cos_theta = jnp.sum(-r2b * b2g) / jnp.maximum(d_rb * d_bg, 1e-9)
-        # approach shaping: outside the contact envelope (base_radius 0.35
-        # + box half 0.2) the wheel signal must beat the arm-noise-induced
-        # hover spread or the base parks on the null-action sample exactly
-        # like the documented ee_reach deadlock.  Measured (r4d diag,
-        # seed 5): with hover at weight 5 and no shaping the base parks at
-        # d_rb=0.81 — precisely where the hover target first comes into arm
-        # reach — and the box never moves for 400 ticks.  The extra term is
-        # zero once in contact so it never fights the push itself.
-        approach = 5.0 * jnp.maximum(d_rb - 0.58, 0.0)
+        # approach shaping: outside the contact envelope (contact_r =
+        # base_radius + box half, derived in __init__) the wheel signal must
+        # beat the arm-noise-induced hover spread or the base parks on the
+        # null-action sample exactly like the documented ee_reach deadlock.
+        # Measured (r4d diag, seed 5): with hover at weight 5 and no shaping
+        # the base parks at d_rb=0.81 — precisely where the hover target
+        # first comes into arm reach — and the box never moves for 400
+        # ticks.  The extra term is zero once in contact so it never fights
+        # the push itself.
+        approach = 5.0 * jnp.maximum(d_rb - self.approach_r, 0.0)
         push_cost = (
             3.0 * (d_rb + d_bg * 10.0) + 1.5 * (1.0 + cos_theta) + approach
         )
@@ -416,14 +431,14 @@ class AlbertObjective:
         # approach; once pushing, the 30/m box-progress term dominates the
         # ranking, so a tight hover is affordable exactly where the task
         # wants it (the logged ee error is the final tick of an active push)
-        hover_w = 1.5 + 2.5 * jax.nn.sigmoid((0.60 - d_rb) / 0.03)
+        hover_w = 1.5 + 2.5 * jax.nn.sigmoid((self.hover_gate_r - d_rb) / 0.03)
         hover_cost = hover_w * jnp.linalg.norm(ee_pos - hover)
 
         # reposition (task_id 8): navigate AROUND the box to the standoff —
         # the bare nav cost let the 0.35 m base plow straight through it
         # (r4d diag: every reposition leg moved the box AWAY from the goal,
         # d_bg 1.22 -> 2.06 over four recovery cycles)
-        repo_cost = nav_cost + 10.0 * jnp.maximum(0.65 - d_rb, 0.0)
+        repo_cost = nav_cost + 10.0 * jnp.maximum(self.clearance_r - d_rb, 0.0)
 
         cost = jnp.where(
             task.task_id == 9,

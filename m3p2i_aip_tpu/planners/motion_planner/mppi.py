@@ -97,6 +97,26 @@ class MPPIConfig:
     # sampling stalls.  0 = off (pure sampling, reference behavior).
     grad_refine_steps: int = 0
     grad_refine_lr: float = 0.02
+    # Annealed resampling refinement (extension; the TPU-shaped alternative
+    # to grad_refine): after the importance-weighted update, re-run the
+    # FUSED K-lane rollout ``refine_iters`` more times with the cached
+    # Halton deltas shrunk to refine_scale * refine_decay^i around the
+    # updated means, re-applying the importance update each time.  Same
+    # goal as grad_refine (millimetre convergence on narrow manifolds) but
+    # each iteration is one full-width Pallas kernel pass (~0.6 ms at
+    # K=200) instead of a 3-lane differentiable rollout chain (measured
+    # 10.3 ms of the 16.5 ms panda tick — UTILIZATION.json panda row).
+    refine_iters: int = 0
+    refine_scale: float = 0.1
+    refine_decay: float = 0.5
+    # Final refine iteration picks the argmin sample per mode instead of the
+    # softmax-weighted mean.  The weighted mean's effective-sample-size floor
+    # (eta in [eta_l, eta_u]) leaves a ~sigma-sized bias off the cost
+    # optimum — measured: the shelf reach equilibrates at 0.0555 m from the
+    # cube against a 0.055 m stage latch.  Greedy is monotone by
+    # construction: the pure per-mode means ride in the refine batch, so the
+    # argmin can never rank the incumbent plan out.
+    refine_greedy: bool = True
     # unroll the refinement's T-step rollout scan (fwd + induced reverse):
     # faster per tick for small T, at added compile time
     grad_refine_unroll: bool = False
@@ -818,9 +838,80 @@ class MPPI:
         actions = act_seq  # u_scale divided back out (mppi.py:420)
 
         state = self._update_halton(state, cost_horizon, actions)
+        state = self._sample_refine(state, sim_state_k, task)
         state = self._grad_refine(state, sim_state_k, task)
         action = state.mean_action  # (mppi.py:245)
         return state, action, tps
+
+    def _sample_refine(self, state: MPPIState, sim_state_k, task: TaskParams):
+        """Annealed resampling refinement of the mean plan(s) — see
+        MPPIConfig.refine_iters.  Each iteration re-samples the cached
+        Halton deltas at a shrinking scale around the CURRENT means, rolls
+        them through the fused kernel, and re-applies the importance-
+        weighted distribution update.  The K-1 zero-noise row keeps the
+        pure mean in every refine batch, so the update always sees the
+        incumbent plan's own cost."""
+        iters = int(getattr(self.cfg, "refine_iters", 0) or 0)
+        if iters <= 0:
+            return state
+        scale0 = float(getattr(self.cfg, "refine_scale", 0.1))
+        decay = float(getattr(self.cfg, "refine_decay", 0.5))
+        for i in range(iters):  # trace-time unrolled (iters is small)
+            scale = scale0 * (decay**i) * self.scale_tril
+            delta = state.halton_delta * scale
+            if self.multi_modal:
+                mean_m = jnp.where(
+                    (self.sample_mode == 0)[:, None, None],
+                    state.mean_action_1[None],
+                    state.mean_action_2[None],
+                )
+                act_seq = mean_m + delta
+            else:
+                act_seq = state.mean_action[None] + delta
+            act_seq = scale_ctrl(act_seq, self.u_min, self.u_max, self.squash_fn)
+            if self.multi_modal:
+                # keep the per-mode elites alive through the refine ladder,
+                # and ride the PURE per-mode means at slots 1 / half_K+1 so
+                # the greedy final pick is monotone per mode
+                act_seq = act_seq.at[0].set(state.best_traj_1)
+                act_seq = act_seq.at[self.half_K].set(state.best_traj_2)
+                act_seq = act_seq.at[1].set(state.mean_action_1)
+                act_seq = act_seq.at[self.half_K + 1].set(state.mean_action_2)
+            elif self.cfg.sample_best_traj:
+                act_seq = act_seq.at[0].set(state.best_traj)
+            act_seq = self._gripper_override(act_seq, task)
+            # NOTE: no null-action overwrite here — the K-1 zero-noise row
+            # must stay the pure mean so refinement can never rank the
+            # incumbent plan out of its own update
+            act_seq = self._constrain_samples(act_seq)
+            cost_horizon, _tps = self._rollout(
+                sim_state_k, self.u_scale * act_seq, task
+            )
+            greedy = bool(getattr(self.cfg, "refine_greedy", True)) and (
+                i == iters - 1
+            )
+            if greedy:
+                state = self._greedy_pick(state, cost_horizon, act_seq)
+            else:
+                state = self._update_halton(state, cost_horizon, act_seq)
+        return state
+
+    def _greedy_pick(self, state: MPPIState, cost_horizon, actions):
+        """Set the mean plan(s) to the argmin sample (per mode) — the final
+        rung of the refine ladder.  See MPPIConfig.refine_greedy."""
+        traj_costs = discounted_traj_cost(cost_horizon, self.gamma_seq)
+        if self.multi_modal:
+            m0 = self.sample_mode == 0
+            inf = jnp.asarray(jnp.inf)
+            i0 = jnp.argmin(jnp.where(m0, traj_costs, inf))
+            i1 = jnp.argmin(jnp.where(~m0, traj_costs, inf))
+            ig = jnp.argmin(traj_costs)
+            return state.replace(
+                mean_action=actions[ig],
+                mean_action_1=actions[i0],
+                mean_action_2=actions[i1],
+            )
+        return state.replace(mean_action=actions[jnp.argmin(traj_costs)])
 
     def _grad_refine(self, state: MPPIState, sim_state_k, task: TaskParams):
         """First-order refinement of the mean plan on the differentiable

@@ -76,6 +76,7 @@ class PLANNER_SIMPLE:
         self._base_goal = self.curr_goal.copy()
         self._pocket_lim: Optional[float] = None
         self._prox_latch = True
+        self._min_clearance = 0.0
         self._pocket_stage = 0
         self._stall_prev: Optional[np.ndarray] = None
         self._stall_n = 0
@@ -89,7 +90,10 @@ class PLANNER_SIMPLE:
     _STALL_CALLS = 15  # stall ticks before the latch fires (see observe())
 
     def configure_pocket_endgame(
-        self, pocket_lim: float, proximity_latch: bool = True
+        self,
+        pocket_lim: float,
+        proximity_latch: bool = True,
+        min_clearance: float = 0.0,
     ) -> None:
         """Arm the staged plan with the arena pocket limit: goals beyond
         ``pocket_lim`` from the center sit in a wall pocket the robot cannot
@@ -108,10 +112,32 @@ class PLANNER_SIMPLE:
         detects exactly that freeze and repositions for the final push.
 
         Also armed for the albert ``push_reach`` (same diff-drive
-        parks-beside-the-box fixed point, open floor, stall latch only)."""
-        if self._base_task in ("push", "push_pull", "hybrid", "push_reach"):
+        parks-beside-the-box fixed point, open floor, stall latch only).
+
+        Round 5 extends the stall latch to POCKET-GOAL pure pulls (the
+        corner1-pull 14/20 / corner2-pull 11/20 honest negatives): the
+        failing seeds freeze mid-drag when the boundary-crush veto kills a
+        wall-hugging pull far from the goal — exactly the freeze the latch
+        detects.  The recovery cycle stays within pull semantics: reposition
+        to a standoff on the GOAL side of the box (a puller drags the box
+        toward itself), then resume PULL.  Open-floor pulls (e.g. the
+        case2 dyn-obstacle scenario, goal at the center) never arm, so the
+        published n=60 rows are untouched.
+
+        ``min_clearance`` (meters): keep the reposition standoff at least
+        this far from the box even after arena clipping — the motion cost's
+        reposition keep-out term (e.g. AlbertObjective.clearance_r) would
+        otherwise fight the nav term when a corner box clips the naive
+        behind-the-box pose inside it."""
+        armed = self._base_task in ("push", "push_pull", "hybrid", "push_reach")
+        if self._base_task == "pull" and (
+            np.max(np.abs(self._base_goal[:2])) > pocket_lim
+        ):
+            armed = True
+        if armed:
             self._pocket_lim = pocket_lim
             self._prox_latch = proximity_latch
+            self._min_clearance = float(min_clearance)
 
     def _box_stalled(self, box, robot) -> bool:
         """True after _STALL_CALLS consecutive calls with the box unmoving
@@ -130,13 +156,39 @@ class PLANNER_SIMPLE:
         return self._stall_n >= self._STALL_CALLS
 
     def _latch_reposition(self, box) -> None:
-        away = box - self._base_goal[:2]
+        if self._base_task == "pull":
+            # a puller drags the box toward itself: stand on the GOAL side
+            away = self._base_goal[:2] - box
+        else:
+            away = box - self._base_goal[:2]
         away = away / max(float(np.linalg.norm(away)), 1e-6)
         standoff = box + self._STANDOFF * away
         # keep the standoff reachable: a corner-start box puts the naive
         # behind-the-box pose outside the arena walls
         if self._pocket_lim is not None:
-            standoff = np.clip(standoff, -self._pocket_lim, self._pocket_lim)
+            lim = self._pocket_lim
+            standoff = np.clip(standoff, -lim, lim)
+            # ... and outside the motion cost's keep-out radius: a clipped
+            # standoff inside it makes the nav and clearance terms fight and
+            # the base hovers short of the goal.  Pick the admissible
+            # candidate farthest from the box, tie-broken by closeness to
+            # the naive behind-the-box pose.
+            clear = getattr(self, "_min_clearance", 0.0)
+            if clear > 0.0 and float(np.linalg.norm(standoff - box)) < clear:
+                naive = box + self._STANDOFF * away
+                r = 1.05 * clear
+                dirs = [away] + [
+                    np.asarray(v, np.float64)
+                    for v in ([1, 0], [-1, 0], [0, 1], [0, -1])
+                ]
+                cands = [np.clip(box + r * d, -lim, lim) for d in dirs]
+                standoff = max(
+                    cands,
+                    key=lambda p: (
+                        round(float(np.linalg.norm(p - box)), 6),
+                        -float(np.linalg.norm(p - naive)),
+                    ),
+                )
         self.task = "reposition"
         self.curr_goal = standoff.astype(np.float32)
         self._pocket_stage = 1
@@ -189,9 +241,13 @@ class PLANNER_SIMPLE:
             if np.linalg.norm(robot - self.curr_goal[:2]) < 0.15:
                 # finish stage: PURE push for the point family (even from a
                 # push_pull base plan); push_reach keeps its own cost (the
-                # EE hover must stay active through the endgame)
+                # EE hover must stay active through the endgame); a pull
+                # base plan RESUMES PULL (its recovery cycle must stay
+                # within pull semantics — see configure_pocket_endgame)
                 self.task = (
-                    "push_reach" if self._base_task == "push_reach" else "push"
+                    self._base_task
+                    if self._base_task in ("push_reach", "pull")
+                    else "push"
                 )
                 self.curr_goal = self._base_goal.copy()
                 self._pocket_stage = 2

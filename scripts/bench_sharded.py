@@ -130,11 +130,50 @@ def main() -> None:
             # K must not discard the whole study
             print("MISMATCH:", act_u, act_s, file=sys.stderr)
 
+    # ---- analytic crossover model (VERDICT r4 #7) ----------------------
+    # Single-chip replan time is affine in K: t_u(K) = a + b*K (fit below).
+    # On an n-chip mesh each device rolls K/n samples and pays a fixed
+    # partitioning cost c_part (shard_map dispatch + the weight stage's
+    # all-gather/psum tree):  t_s(K) = c_part + a + b*K/n.
+    # Sharding wins when  c_part < b*K*(1 - 1/n), i.e.
+    #     K* = c_part / (b * (1 - 1/n)).
+    # c_part is estimated from THIS sweep: on a virtual mesh the n
+    # "devices" share one core, so total compute is unchanged and
+    # t_s - t_u  is the partition cost itself (an upper bound for a real
+    # ICI mesh, whose collectives are faster than host-shared-memory
+    # emulation).  All model inputs are recorded so the prediction is
+    # recomputable.
+    Ks = np.asarray([r["K"] for r in rows], dtype=np.float64)
+    t_u = np.asarray([r["unsharded_replan_ms"] for r in rows]) * 1e-3
+    t_s = np.asarray([r["sharded_replan_ms"] for r in rows]) * 1e-3
+    model = None
+    if len(rows) >= 2:
+        b_fit, a_fit = np.polyfit(Ks, t_u, 1)
+        c_part = float(np.median(t_s - t_u))
+        if b_fit > 0 and c_part > 0:
+            k_star = c_part / (b_fit * (1.0 - 1.0 / max(n, 2)))
+            model = {
+                "t_unsharded_affine_fit": {"a_s": float(a_fit), "b_s_per_sample": float(b_fit)},
+                "c_partition_s": c_part,
+                "c_partition_note": (
+                    "median(t_sharded - t_unsharded) over the sweep; on a "
+                    "virtual mesh this IS the partition cost (no added "
+                    "compute capacity) and upper-bounds a real ICI mesh"
+                ),
+                "mesh_devices": n,
+                "predicted_crossover_K_real_mesh": int(round(k_star)),
+                "model": "K* = c_part / (b * (1 - 1/n))",
+            }
+
     out = {
         "devices": n,
         "platform": jax.devices()[0].platform,
         "ticks": args.ticks,
         "sweep": rows,
+        "crossover_model": model,
+        "predicted_crossover_K_real_mesh": (
+            model["predicted_crossover_K_real_mesh"] if model else None
+        ),
         # K at which sharding first beats unsharded on THIS backend
         # (null = sharding never paid within the sweep)
         "crossover_K": crossover_K,

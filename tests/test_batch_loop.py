@@ -202,3 +202,44 @@ def test_batched_sharded_over_seed_mesh():
             np.asarray(plain_logs[b].robot_pos),
             atol=1e-4,
         )
+
+
+@pytest.mark.slow
+def test_batched_panda_sharded_over_seed_mesh():
+    """Panda seed-axis sharding (VERDICT r4 #2): shard=True on the panda
+    batch lays the seed axis over the 8-device virtual mesh; stage
+    progression and views must match the unsharded batched run (both ride
+    the pure-XLA rollout on CPU, so this is apples-to-apples)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device virtual mesh")
+    n = len(jax.devices())  # B must divide the full seed mesh
+    seeds = list(range(n))
+    ovr = [
+        "mppi.num_samples=16",
+        "mppi.horizon=6",
+        "multi_modal=False",
+    ]
+    steps, chunk = 16, 8
+
+    cfg = load_config("config_panda", ovr)
+    plain = BatchSimLoop(cfg, seeds)
+    plain.warmup(10)
+    plain_logs = plain.run_chunked(steps, chunk=chunk)
+
+    cfg = load_config("config_panda", ovr)
+    sharded = BatchSimLoop(cfg, seeds, shard=True)
+    sharded.warmup(10)
+    sharded_logs = sharded.run_chunked(steps, chunk=chunk)
+
+    for b in range(len(seeds)):
+        assert sharded_logs[b].steps == plain_logs[b].steps, f"seed {b}"
+        assert sharded_logs[b].task == plain_logs[b].task, f"seed {b}"
+        for key in ("cube_state", "ee_state"):
+            np.testing.assert_allclose(
+                np.asarray(sharded.views[b][key]),
+                np.asarray(plain.views[b][key]),
+                atol=1e-4,
+                err_msg=f"seed {b} {key}",
+            )

@@ -211,3 +211,64 @@ def test_halton_elite_injection_flag():
     assert np.all(np.isfinite(np.asarray(seq_on)))
     assert not np.allclose(np.asarray(s_on.best_traj), 0.0)
     assert not np.allclose(np.asarray(seq_on), np.asarray(seq_off), atol=1e-6)
+
+
+def test_sample_refine_improves_plan_cost():
+    """Annealed resampling refinement (MPPIConfig.refine_iters): same seed,
+    same state — the refined mean plan's true discounted cost must be no
+    worse than the unrefined one's, and the mean must actually move.  This
+    is the TPU-shaped replacement for grad_refine (UTILIZATION.json panda
+    attribution: the 3-lane differentiable chain was 10.3 of the 16.5 ms
+    tick; each refine iteration reuses the full-width rollout instead)."""
+
+    def build(iters):
+        mcfg = MPPIConfig(
+            num_samples=32,
+            horizon=12,
+            nx=2,
+            mppi_mode="halton-spline",
+            noise_sigma=[[0.25]],
+            u_min=[-1.0],
+            u_max=[1.0],
+            lambda_=0.5,
+            filter_u=False,
+            use_pallas=False,
+            exploration_noise=0.0,
+            refine_iters=iters,
+            refine_scale=0.3,
+        )
+        cfg = types.SimpleNamespace(
+            env_type="point_env", multi_modal=False, mppi=mcfg
+        )
+
+        def dynamics(s, u, ext):
+            return s + _DT * u
+
+        def running_cost(s, u, task, mode):
+            return jnp.sum((s - _GOAL) ** 2), jnp.zeros(1)
+
+        return MPPI(cfg, dynamics, running_cost, zero_ext=lambda: jnp.zeros(1))
+
+    def plan_cost(planner, mean):
+        s, c = 0.0, 0.0
+        g = np.asarray(planner.gamma_seq)
+        m = np.asarray(mean)
+        for t in range(planner.T):
+            s = s + _DT * m[t, 0]
+            c += g[t] * (s - _GOAL) ** 2
+        return c
+
+    task = make_task_params("navigation", [_GOAL, 0.0])
+    plain, refined = build(0), build(2)
+    st_p, st_r = plain.init_state(), refined.init_state()
+    _, st_p, _ = plain.command(st_p, jnp.zeros(1), task)
+    _, st_r, _ = refined.command(st_r, jnp.zeros(1), task)
+    c_plain = plan_cost(plain, st_p.mean_action)
+    c_ref = plan_cost(refined, st_r.mean_action)
+    assert np.isfinite(c_ref)
+    assert not np.allclose(
+        np.asarray(st_r.mean_action), np.asarray(st_p.mean_action), atol=1e-7
+    ), "refine_iters=2 left the mean untouched"
+    assert c_ref <= c_plain + 1e-6, (
+        f"refined plan cost {c_ref} worse than unrefined {c_plain}"
+    )

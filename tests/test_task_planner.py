@@ -299,3 +299,52 @@ def test_stall_latch_tick_granular_under_chunking():
         if (k + 1) % chunk == 0:
             p.update_plan({"box_pos": moving_box, "robot_pos": robot})
     assert p.task == "push_reach" and p._pocket_stage == 0
+
+
+def test_pocket_endgame_pull_recovery_cycle():
+    """Round-5 pull recovery (VERDICT r4 weak #6): a pocket-goal PURE pull
+    arms the stall latch; on a mid-drag freeze the planner repositions to a
+    standoff on the GOAL side of the box (a puller drags the box toward
+    itself) and then RESUMES PULL — never push — so the ablation stays
+    within pull semantics."""
+    cfg = _Cfg()
+    cfg.task = "pull"
+    cfg.goal = [-3.75, -3.75]
+    p = set_task_planner(cfg)
+    p.configure_pocket_endgame(3.15, min_clearance=0.6)
+
+    # wall-hugging drag freeze: box stalled, robot adjacent
+    box = np.array([-3.4, -1.6])
+    robot = np.array([-3.65, -2.04])
+    for _ in range(p._STALL_CALLS + 1):
+        p.update_plan({"box_pos": box, "robot_pos": robot})
+    assert p.task == "reposition" and p._pocket_stage == 1
+    # standoff sits on the GOAL side: moving box->standoff points TOWARD
+    # the goal (opposite of the push staging, which goes behind the box)
+    away = p.curr_goal[:2] - box
+    to_goal = np.array(cfg.goal) - box
+    assert float(np.dot(away, to_goal)) > 0.0
+    # ... within the arena and off the box (min_clearance)
+    assert np.all(np.abs(p.curr_goal[:2]) <= 3.15 + 1e-5)
+    assert np.linalg.norm(p.curr_goal[:2] - box) >= 0.6 - 1e-6
+
+    # robot reaches the standoff -> resumes PULL at the base goal
+    p.update_plan({"box_pos": box, "robot_pos": p.curr_goal[:2].copy()})
+    assert p.task == "pull" and p._pocket_stage == 2
+    assert np.allclose(p.curr_goal[:2], cfg.goal)
+
+
+def test_open_floor_pull_never_arms_stall_latch():
+    """Open-floor pulls (e.g. the case2 dyn-obstacle scenario, goal at the
+    center) must NOT arm the recovery cycle — the published n=60 rows ride
+    on unmodified pure-pull behavior."""
+    cfg = _Cfg()
+    cfg.task = "pull"
+    cfg.goal = [0.0, 0.0]
+    p = set_task_planner(cfg)
+    p.configure_pocket_endgame(3.15)
+    box = np.array([1.0, 1.0])
+    robot = np.array([1.3, 1.3])
+    for _ in range(p._STALL_CALLS + 5):
+        p.update_plan({"box_pos": box, "robot_pos": robot})
+    assert p.task == "pull" and p._pocket_stage == 0
