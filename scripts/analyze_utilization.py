@@ -284,13 +284,16 @@ def workload_panda(K=200, T=12):
         _timeit_scanned(upd_step, (ms0, cost_h), iters=50) * 1e3, 4
     )
 
-    # 5) gradient refinement alone
-    def ref_step(ms):
-        return mp._grad_refine(ms, sK, task0)
+    # 5) refinement alone (whichever refinement the config enables; a
+    #    zero-step config would just measure scan overhead, so skip then)
+    if int(cfg.mppi.grad_refine_steps) > 0 or int(cfg.mppi.refine_iters) > 0:
+        def ref_step(ms):
+            ms = mp._sample_refine(ms, sK, task0)
+            return mp._grad_refine(ms, sK, task0)
 
-    row["grad_refine_ms"] = round(
-        _timeit_scanned(ref_step, ms0, iters=50) * 1e3, 4
-    )
+        row["refine_standalone_ms"] = round(
+            _timeit_scanned(ref_step, ms0, iters=50) * 1e3, 4
+        )
 
     # 6) AIF gate alone
     def gate_step(carry):

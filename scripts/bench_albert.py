@@ -66,7 +66,10 @@ def main(argv) -> None:
 
     hz = done / dt
     rec = {
-        "metric": "m3p2i_replan_rate_albert_K200_T12_push_reach",
+        "metric": (
+            f"m3p2i_replan_rate_albert_K{int(cfg.mppi.num_samples)}"
+            f"_T{int(cfg.mppi.horizon)}_push_reach"
+        ),
         "value": round(hz, 2),
         "unit": "Hz",
         "vs_baseline": round(hz / BASELINE_HZ, 2),

@@ -82,12 +82,20 @@ def main() -> None:
         # warm up / compile
         _, ms, _ = tamp.motion_planner.command(tamp.mppi_state, state, tp)
         jax.block_until_ready(ms)
+        # ONE-tick action for the equality check: from identical planner
+        # state, so the sharded-vs-unsharded delta is pure reduction-order
+        # drift.  (Comparing after the 20-tick timing loop compounded
+        # argmax tie-flips through the closed-loop planner state — a
+        # near-tied elite flipping once perturbs every later action by
+        # O(sample noise), which says nothing about sharding correctness.)
+        act1, _, _ = tamp.motion_planner.command(tamp.mppi_state, state, tp)
+        act1 = np.asarray(jax.block_until_ready(act1)[0])
         t0 = time.perf_counter()
         for _ in range(args.ticks):
             act, ms, _ = tamp.motion_planner.command(ms, state, tp)
         jax.block_until_ready(act)
         dt = (time.perf_counter() - t0) / args.ticks
-        return np.asarray(act[0]), dt
+        return act1, dt
 
     rows = []
     crossover_K = None
