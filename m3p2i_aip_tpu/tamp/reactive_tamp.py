@@ -168,6 +168,19 @@ class ReactiveTAMP:
                     bool(cfg.multi_modal),
                 )
             )
+        elif self.env.env_type == "albert_env" and self.motion_planner.use_pallas:
+            from m3p2i_aip_tpu.ops.pallas_albert_rollout import (
+                make_albert_rollout,
+            )
+
+            self.motion_planner.set_rollout_override(
+                make_albert_rollout(
+                    self.env.params,
+                    self.objective,
+                    self.motion_planner.K,
+                    self.motion_planner.T,
+                )
+            )
 
         self.mppi_state = self.motion_planner.init_state()
         self.suction_active = int(cfg.suction_active)

@@ -382,7 +382,7 @@ def workload_albert(K=200, T=12):
         rng.uniform(-1, 1, size=(K, T, env.nu)).astype(np.float32)
     )
 
-    row = {"workload": f"albert (K={K} x T={T}, XLA rollout)", "K": K, "T": T}
+    row = {"workload": f"albert (K={K} x T={T})", "K": K, "T": T}
 
     def tick_step(carry):
         ms, rs = carry
@@ -395,8 +395,20 @@ def workload_albert(K=200, T=12):
         _timeit_scanned(tick_step, (ms0, rs0), iters=50) * 1e3, 4
     )
 
+    ov = mp.rollout_override
+    if ov is not None:
+        def k_step(a):
+            cost, tps = ov(sK, a, task0)
+            return a + (jnp.sum(cost) + jnp.sum(tps)) * 1e-30
+
+        row["rollout_kernel_ms"] = round(
+            _timeit_scanned(k_step, acts, iters=50) * 1e3, 4
+        )
+
     def roll_step(a):
+        mp.rollout_override = None
         cost, tps = mp._rollout(sK, a, task0)
+        mp.rollout_override = ov
         s = jnp.sum(cost) + jnp.sum(tps)
         return a + s * 1e-30
 

@@ -78,7 +78,7 @@ def main(argv) -> None:
         "T": int(cfg.mppi.horizon),
         "chunk": chunk,
         "ticks": n,
-        "use_pallas": False,
+        "use_pallas": bool(loop.tamp.motion_planner.rollout_override is not None),
     }
     line = json.dumps(rec)
     print(line)

@@ -689,3 +689,98 @@ def test_panda_fused_rollout_matches_xla_tpu():
         np.abs(np.asarray(ch_ref) - np.asarray(ch_pl)).max()
     )
     assert np.allclose(np.asarray(tps_ref), np.asarray(tps_pl), atol=1e-4)
+
+
+@_skip_on_tpu
+def test_albert_rollout_interpret_matches_xla_cpu():
+    """Albert kernel-vs-XLA rollout parity on CPU (interpret mode).
+
+    Covers the kernel's riskiest transcriptions: the base-composed FK chain
+    (lane-valued initial rotation), the diff-drive + 9-channel arm velocity
+    drive, the planar PBD base-vs-box contact, and all four cost branches
+    (ee_reach / push_reach incl. the hover sigmoid / reposition /
+    navigation).  FULL physics params (substeps=2); K/T reduced for
+    interpret-mode runtime (CLAUDE.md kernel-parity invariant).
+    """
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.models import albert
+    from m3p2i_aip_tpu.ops.pallas_albert_rollout import make_albert_rollout
+    from m3p2i_aip_tpu.planners.motion_planner.mppi import TaskParams
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_albert",
+        ["mppi.num_samples=16", "mppi.horizon=4", "mppi.refine_iters=0"],
+    )
+    tamp = ReactiveTAMP(cfg)
+    mp = tamp.motion_planner
+    p = tamp.env.params
+    assert bool(p.has_box), "albert parity scene must ship the pushable box"
+    ov = make_albert_rollout(p, tamp.objective, mp.K, mp.T, interpret=True)
+    assert ov is not None
+
+    K, T = mp.K, mp.T
+    obj = tamp.objective
+    mode = jnp.zeros(K, jnp.int32)
+
+    def _xla_rollout(state_k, acts, task):
+        def step_t(carry, u_t):
+            s = carry
+            s = jax.vmap(lambda st, u: albert.step(p, st, u))(s, u_t)
+            cost, _ = jax.vmap(obj.compute, in_axes=(0, 0, None, 0))(
+                s, u_t, task, mode
+            )
+            return s, (cost, s.q[:, :2])
+
+        acts_t = jnp.swapaxes(acts, 0, 1)
+        _, (costs, tps) = jax.lax.scan(step_t, state_k, acts_t)
+        return jnp.swapaxes(costs, 0, 1), jnp.swapaxes(tps, 0, 1)
+
+    def tp(task_id, goal):
+        g = jnp.zeros(7).at[: len(goal)].set(jnp.asarray(goal, jnp.float32))
+        return TaskParams(
+            task_id=jnp.asarray(task_id, jnp.int32),
+            goal=g,
+            gripper=jnp.asarray(0, jnp.int32),
+            zup_gate=jnp.asarray(0.0, jnp.float32),
+        )
+
+    base = tamp.env.init_state()
+    # base adjacent to the box, driving into it (contact fires immediately)
+    contact = base.replace(
+        q=base.q.at[0].set(float(p.box_init[0]) - 0.56),
+        qd=base.qd.at[0].set(0.8),
+        box_vel=jnp.asarray([0.1, -0.05]),
+        box_om=jnp.asarray(0.4),
+    )
+    # arm bent mid-range, base rotated (exercises the lane-valued FK base)
+    bent = base.replace(
+        q=base.q.at[2].set(0.9).at[4].set(-1.2).at[6].set(0.7),
+        qd=base.qd.at[11].set(0.5),
+    )
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (base, tp(7, [2.0, 2.0, 0.6])),      # ee_reach
+        (bent, tp(7, [1.0, -1.5, 0.9])),     # ee_reach, rotated base
+        (contact, tp(9, [3.0, 0.0, 0.6])),   # push_reach through contact
+        (contact, tp(8, [0.5, -0.5])),       # reposition keep-out
+        (base, tp(0, [1.5, 1.0])),           # navigation
+    ]
+    for i, (st, task) in enumerate(cases):
+        sK = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (K,) + x.shape), st
+        )
+        acts = jnp.asarray(
+            rng.uniform(-1.5, 1.5, size=(K, T, 13)).astype(np.float32)
+        )
+        ch_ref, tps_ref = _xla_rollout(sK, acts, task)
+        ch_pl, tps_pl = ov(sK, acts, task)
+        np.testing.assert_allclose(
+            np.asarray(ch_pl), np.asarray(ch_ref), atol=2e-4, rtol=1e-4,
+            err_msg=f"case {i} cost",
+        )
+        np.testing.assert_allclose(
+            np.asarray(tps_pl), np.asarray(tps_ref), atol=1e-5,
+            err_msg=f"case {i} traj",
+        )
