@@ -152,6 +152,31 @@ def emit_boxer_urdf(wheel_radius: float = 0.08, wheel_base: float = 0.314) -> st
     return _robot("boxer", joints, links)
 
 
+def emit_husky_urdf() -> str:
+    """Clearpath Husky A200 skid-steer base — the reference's unused spare
+    asset (``assets/urdf/husky_description/``; no reference code ever loads
+    it).  Emitted from the PUBLIC Husky datasheet dimensions (wheelbase
+    0.512 m, track 0.555 m, wheel radius 0.1651 m) so the asset inventory
+    matches 1:1; like upstream, no env/task consumes it.
+    """
+    wb_half, track_half, wr = 0.512 / 2.0, 0.555 / 2.0, 0.1651
+    joints = []
+    links = ["base_link"]
+    for name, x, y in (
+        ("front_left", wb_half, track_half),
+        ("front_right", wb_half, -track_half),
+        ("rear_left", -wb_half, track_half),
+        ("rear_right", -wb_half, -track_half),
+    ):
+        joints.append(
+            _joint(f"{name}_wheel_joint", "continuous", "base_link",
+                   f"{name}_wheel", [x, y, wr], [-np.pi / 2, 0, 0],
+                   [0, 0, 1], (-1e9, 1e9, 40, 20))
+        )
+        links.append(f"{name}_wheel")
+    return _robot("husky", joints, links)
+
+
 def emit_albert_urdf() -> str:
     from m3p2i_aip_tpu.models import albert
 
@@ -170,6 +195,7 @@ _EMITTERS = {
     "boxer/boxer.urdf": emit_boxer_urdf,
     "albert/albert.urdf": emit_albert_urdf,
     "franka_description/robots/franka_panda.urdf": emit_franka_urdf,
+    "husky_description/husky.urdf": emit_husky_urdf,
 }
 
 

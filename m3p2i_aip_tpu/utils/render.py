@@ -117,3 +117,79 @@ def save_trajectory_plot(
     fig.savefig(path, dpi=100, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def save_frames(
+    env,
+    log,
+    outdir: str,
+    every: int = 5,
+    goal: Optional[np.ndarray] = None,
+    gif: bool = True,
+) -> Optional[str]:
+    """Render the run as per-tick PNG frames (+ an animated GIF when PIL is
+    available) — the offline twin of the Isaac Gym viewer's live camera
+    (isaacgym_wrapper.py:374-460) for headless TPU hosts.
+
+    Frames show the scene statics, the robot/box paths so far, and the
+    current positions.  Returns the GIF path (or the frame dir when no GIF
+    writer exists), None without matplotlib.
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    import os
+
+    os.makedirs(outdir, exist_ok=True)
+    rp = np.asarray(log.robot_pos) if log.robot_pos else None
+    bp = np.asarray(log.box_pos) if log.box_pos else None
+    if rp is None:
+        return None
+    p = env.params
+    stat_pos = np.asarray(p.stat_pos)
+    stat_half = np.asarray(p.stat_half)
+    paths = []
+    for t in range(0, rp.shape[0], max(1, every)):
+        fig, ax = plt.subplots(figsize=(4, 4))
+        for i in range(stat_pos.shape[0]):
+            ax.add_patch(
+                plt.Rectangle(
+                    stat_pos[i] - stat_half[i],
+                    2 * stat_half[i, 0],
+                    2 * stat_half[i, 1],
+                    color="0.3",
+                )
+            )
+        ax.plot(rp[: t + 1, 0], rp[: t + 1, 1], "b-", lw=1)
+        ax.plot(rp[t, 0], rp[t, 1], "bo", markersize=8)
+        if bp is not None and bp.shape[0] > t:
+            ax.plot(bp[: t + 1, 0], bp[: t + 1, 1], "r-", lw=1)
+            ax.plot(bp[t, 0], bp[t, 1], "rs", markersize=8)
+        if goal is not None:
+            ax.plot(goal[0], goal[1], "g*", markersize=12)
+        ax.set_xlim(-4.5, 4.5)
+        ax.set_ylim(-4.5, 4.5)
+        ax.set_aspect("equal")
+        ax.set_title(f"tick {t}")
+        fp = os.path.join(outdir, f"frame_{t:05d}.png")
+        fig.savefig(fp, dpi=80, bbox_inches="tight")
+        plt.close(fig)
+        paths.append(fp)
+    if gif and paths:
+        try:
+            from PIL import Image
+
+            frames = [Image.open(fp) for fp in paths]
+            gif_path = os.path.join(outdir, "run.gif")
+            frames[0].save(
+                gif_path, save_all=True, append_images=frames[1:],
+                duration=100, loop=0,
+            )
+            return gif_path
+        except ImportError:
+            pass
+    return outdir

@@ -27,6 +27,11 @@ from m3p2i_aip_tpu.tamp.sim_loop import run_sim
 
 
 def main(argv) -> None:
+    record = None
+    for a in list(argv):
+        if a.startswith("--record="):
+            record = a.split("=", 1)[1]
+            argv = [x for x in argv if x != a]
     cfg = load_config_from_argv(argv, default_config="config_point")
     log = run_sim(cfg, verbose=True, interactive="--interactive" in argv)
     n = max(1, len(log.replan_s))
@@ -36,6 +41,16 @@ def main(argv) -> None:
         f"replan_hz={1.0 / (sum(log.replan_s) / n):.1f} "
         f"sim_hz={1.0 / max(sum(log.sim_s) / n, 1e-9):.1f}"
     )
+    if record:
+        # offline viewer frames + GIF (utils/render.save_frames): the
+        # headless twin of the reference's live Isaac Gym camera
+        from m3p2i_aip_tpu.envs import make_env
+        from m3p2i_aip_tpu.utils.render import save_frames
+
+        out = save_frames(
+            make_env(cfg), log, record, goal=np.asarray(cfg.goal, float)
+        )
+        print(f"frames -> {out}")
 
 
 if __name__ == "__main__":

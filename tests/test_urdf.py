@@ -90,6 +90,9 @@ def test_vendored_urdfs_parse():
     assert heijn.ndof == 3
     boxer = parse_urdf(str(root / "boxer/boxer.urdf"))
     assert sum(j.type != "fixed" for j in boxer.values()) == 4
+    # husky: the reference's unused spare asset, vendored for 1:1 inventory
+    husky = parse_urdf(str(root / "husky_description/husky.urdf"))
+    assert sum(j.type != "fixed" for j in husky.values()) == 4
 
 
 _REF_URDF = "/root/reference/src/m3p2i_aip/assets/urdf/franka_description/robots/franka_panda.urdf"

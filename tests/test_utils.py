@@ -154,3 +154,25 @@ def test_interactive_run_ci_safe():
     loop.warmup(5)
     log = loop.run(n_steps=5, interactive=True)
     assert log.steps == 5
+
+
+def test_save_frames_renders_gif(tmp_path):
+    """Offline viewer frames (utils/render.save_frames): a tiny synthetic
+    TickLog renders to per-tick PNGs and an animated GIF."""
+    import numpy as np
+
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.envs import make_env
+    from m3p2i_aip_tpu.tamp.sim_loop import TickLog
+    from m3p2i_aip_tpu.utils.render import save_frames
+
+    env = make_env(load_config("config_point"))
+    log = TickLog()
+    for t in range(8):
+        log.robot_pos.append(np.asarray([0.1 * t, 0.0]))
+        log.box_pos.append(np.asarray([0.1 * t + 0.5, 0.2]))
+    out = save_frames(env, log, str(tmp_path), every=2, goal=np.asarray([1.0, 1.0]))
+    assert out is not None
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "frame_00000.png"))
