@@ -145,3 +145,43 @@ def test_sharded_kernel_rollout_matches_unsharded():
     ch_sh, tps_sh = jax.jit(lambda s, a: mp._rollout(s, a, tp))(sK, acts)
     assert np.allclose(np.asarray(ch_un), np.asarray(ch_sh), atol=1e-4)
     assert np.allclose(np.asarray(tps_un), np.asarray(tps_sh), atol=1e-5)
+
+
+def test_sharded_albert_kernel_rollout_matches_unsharded():
+    """The albert kernel (round 5) composes with the sample-axis mesh the
+    same way: shard_map runs the interpret-mode kernel on each device's
+    K/n slice; results must match the unsharded call."""
+    from m3p2i_aip_tpu.config.config_store import load_config
+    from m3p2i_aip_tpu.ops.pallas_albert_rollout import make_albert_rollout
+    from m3p2i_aip_tpu.tamp.reactive_tamp import ReactiveTAMP
+
+    cfg = load_config(
+        "config_albert",
+        [
+            "task=push_reach", "goal=[3.0,0.0,0.6]",
+            "mppi.num_samples=16", "mppi.horizon=4",
+            "mppi.refine_iters=0",
+        ],
+    )
+    tamp = ReactiveTAMP(cfg)
+    mp = tamp.motion_planner
+    ov = make_albert_rollout(
+        tamp.env.params, tamp.objective, mp.K, mp.T, interpret=True
+    )
+    assert ov is not None
+    state = tamp.env.init_state()
+    tp = tamp.tamp_interface(state)
+    sK = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (mp.K,) + x.shape), state
+    )
+    rng = np.random.default_rng(2)
+    acts = jnp.asarray(
+        rng.uniform(-1.5, 1.5, size=(mp.K, mp.T, 13)).astype(np.float32)
+    )
+
+    mp.set_rollout_override(ov)
+    ch_un, tps_un = jax.jit(lambda s, a: mp._rollout(s, a, tp))(sK, acts)
+    mp.set_mesh(make_mesh())
+    ch_sh, tps_sh = jax.jit(lambda s, a: mp._rollout(s, a, tp))(sK, acts)
+    assert np.allclose(np.asarray(ch_un), np.asarray(ch_sh), atol=1e-4)
+    assert np.allclose(np.asarray(tps_un), np.asarray(tps_sh), atol=1e-5)
