@@ -12,6 +12,16 @@
 #      changes staging in clipped-corner scenes)
 #   F. bench.py combined headline record
 # Same serial + probe protocol as r4b-r4d (ONE TPU client; quiet 1-core host).
+#
+# NOTE (post-hoc record): the round-5 session ran these steps individually
+# plus additional measurement passes not scripted here: the refine_iters
+# 2-vs-3 shelf A/B (19/20 -> 20/20), the albert refine on/off + greedy
+# on/off envelope sweeps, the albert Pallas-kernel on-device parity check
+# and ALBERT_BENCH re-measures (471 -> 2223 Hz), the shelf batch-B
+# re-earn (seed_offset=100, 20/20), case2 + corner1-hybrid HEAD confirms,
+# BATCH_EVAL panda re-measure, the PARALLEL_BENCH one-tick-equality sweep
+# re-run, and 10k/5k-tick soak runs.  Step logs under /tmp/* in-session;
+# results recorded in RESULTS.md and the committed artifacts.
 set -u
 cd "$(dirname "$0")/.."
 OUT=/tmp/tpu_chain_r5
