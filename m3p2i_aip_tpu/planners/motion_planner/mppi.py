@@ -854,6 +854,13 @@ class MPPI:
         iters = int(getattr(self.cfg, "refine_iters", 0) or 0)
         if iters <= 0:
             return state
+        # NOTE: each softmax refine iteration runs the full distribution
+        # update, so a persistent single-mode beta (beta_adapt) takes its
+        # one-step adaptation once per ITERATION, not once per tick — i.e.
+        # 1 + refine_iters steps/tick.  The albert family (beta_adapt=True,
+        # refine_iters=3) is quality-gated at exactly this cadence
+        # (RESULTS.md albert envelope rows); changing the cadence is a
+        # behavior change those envelopes must re-validate.
         scale0 = float(getattr(self.cfg, "refine_scale", 0.1))
         decay = float(getattr(self.cfg, "refine_decay", 0.5))
         for i in range(iters):  # trace-time unrolled (iters is small)
